@@ -1,0 +1,87 @@
+"""Benchmark: supercell CRM throughput (grid-points·steps/s per chip).
+
+Runs the flagship MMF configuration (65x1x50 cells per CRM — the reference's
+production config, inputs/input_pamc.yaml — batched over an ensemble sized to
+fill the chip) and reports CRM-physics-step throughput. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); vs_baseline compares to
+``BENCH_BASELINE.json`` in the repo when present, else 1.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pam_tpu.driver.mmf import setup_supercell_mmf
+    from pam_tpu.modules import gcm_forcing
+
+    nx, ny, nz = 65, 1, 50
+    nens = int(os.environ.get("PAM_BENCH_NENS", "64"))
+    n_crm_steps = int(os.environ.get("PAM_BENCH_STEPS", "20"))
+
+    log(f"devices: {jax.devices()}")
+    drv, state = setup_supercell_mmf(
+        nx=nx, ny=ny, nz=nz, nens=nens, xlen=128000.0, ylen=64000.0,
+        zlen=20000.0, micro="kessler", dt_gcm=900.0, dt_crm_phys=20.0,
+        dtype=jnp.float32)
+    state = gcm_forcing.compute_gcm_forcing_tendencies(
+        drv.coupler, state, drv.dt_gcm)
+
+    step = jax.jit(drv.crm_phys_step)
+    t0 = time.time()
+    state = step(state)
+    jax.block_until_ready(state["temp"])
+    log(f"compile+first step: {time.time()-t0:.1f}s")
+
+    # warmup
+    for _ in range(3):
+        state = step(state)
+    jax.block_until_ready(state["temp"])
+
+    t0 = time.time()
+    s = state
+    for _ in range(n_crm_steps):
+        s = step(s)
+    jax.block_until_ready(s["temp"])
+    elapsed = time.time() - t0
+
+    if not bool(np.isfinite(np.asarray(s["temp"])).all()):
+        log("ERROR: non-finite state after benchmark run")
+        sys.exit(1)
+
+    gridpoints = nx * ny * nz * nens
+    value = gridpoints * n_crm_steps / elapsed
+    log(f"{n_crm_steps} CRM steps x {gridpoints} pts in {elapsed:.3f}s")
+
+    vs_baseline = 1.0
+    base_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        try:
+            base = json.load(open(base_path))
+            if base.get("value"):
+                vs_baseline = value / base["value"]
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": "supercell CRM grid-points*steps/s per chip",
+        "value": round(value, 1),
+        "unit": "gridpoint-steps/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

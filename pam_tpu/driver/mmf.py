@@ -1,0 +1,118 @@
+"""MMF standalone driver: GCM loop × CRM physics loop.
+
+Parity reference: standalone/mmf_simplified/driver.cpp:237-272 — per GCM
+step compute forcing tendencies, then per CRM step apply forcing → dycore →
+sponge → sgs → micro. Here the whole CRM physics step is one jitted pure
+function over the state pytree; the GCM loop stays in Python (it is the
+host-coupling boundary in real MMF use).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.coupler import Coupler
+from ..dycore.awfl import AwflDycore
+from ..modules import gcm_forcing, sponge
+from ..modules.broadcast import broadcast_initial_gcm_column
+from ..modules.perturb import perturb_temperature
+from . import supercell_column
+
+
+@dataclasses.dataclass(eq=False)
+class MmfDriver:
+    """Composes dycore + physics into jitted GCM/CRM step functions."""
+    coupler: Coupler
+    dycore: Any
+    micro: Any = None
+    sgs: Any = None
+    apply_sponge: bool = True
+    apply_gcm_forcing: bool = True
+    dt_gcm: float = 900.0
+    dt_crm_phys: float = 20.0
+
+    def crm_phys_step(self, state):
+        """One CRM physics step (jit this)."""
+        cpl = self.coupler
+        if self.apply_gcm_forcing:
+            state = gcm_forcing.apply_gcm_forcing_tendencies(
+                cpl, state, self.dt_crm_phys, self.dt_gcm)
+        state = self.dycore.timestep(state, self.dt_crm_phys)
+        if self.apply_sponge:
+            state = sponge.sponge_layer(cpl, state, self.dt_crm_phys)
+        if self.sgs is not None:
+            state = self.sgs.timestep(state, self.dt_crm_phys)
+        if self.micro is not None:
+            state = self.micro.timestep(state, self.dt_crm_phys)
+        return state
+
+    def gcm_step(self, state):
+        """One full GCM step: forcing tendencies + n CRM steps (jit this)."""
+        cpl = self.coupler
+        if self.apply_gcm_forcing:
+            state = gcm_forcing.compute_gcm_forcing_tendencies(
+                cpl, state, self.dt_gcm)
+        nsteps = int(round(self.dt_gcm / self.dt_crm_phys))
+
+        def body(s, _):
+            return self.crm_phys_step(s), None
+
+        state, _ = jax.lax.scan(body, state, None, length=nsteps)
+        return state
+
+    def run(self, state, sim_time: float, callback: Callable = None):
+        """Python-level GCM loop (ref: driver.cpp:237-272)."""
+        nsteps_gcm = int(np.ceil(sim_time / self.dt_gcm))
+        step = jax.jit(self.gcm_step)
+        etime = 0.0
+        for n in range(nsteps_gcm):
+            state = step(state)
+            etime += self.dt_gcm
+            if callback is not None:
+                callback(state, etime)
+        return state
+
+
+def setup_supercell_mmf(nx=65, ny=1, nz=50, nens=1, xlen=128000.0,
+                        ylen=64000.0, zlen=20000.0, dtype=jnp.float64,
+                        micro="kessler", dt_gcm=900.0, dt_crm_phys=20.0,
+                        perturb_seeds=None, dycore_kwargs=None):
+    """Build the full MMF configuration mirroring inputs/input_pamc.yaml
+    (65x1x50 cells, 128 km x 64 km, 20 km top) with supercell column init.
+    Returns (driver, state)."""
+    cpl = Coupler(nz=nz, ny=ny, nx=nx, nens=nens, xlen=xlen, ylen=ylen,
+                  dtype=dtype)
+    if micro == "kessler":
+        from ..physics import kessler as kess
+        cpl = kess.register(cpl)
+    elif micro == "p3":
+        from ..physics import p3 as p3mod
+        cpl = p3mod.register(cpl)
+    elif micro != "none":
+        raise ValueError(f"unknown micro scheme {micro!r}")
+
+    zint = np.linspace(0.0, zlen, nz + 1)
+    state = cpl.allocate_state(zint)
+    state = supercell_column.initialize_from_supercell_column(cpl, state, zint)
+    state = broadcast_initial_gcm_column(cpl, state)
+    seeds = perturb_seeds if perturb_seeds is not None else np.arange(nens)
+    state = perturb_temperature(cpl, state, np.asarray(seeds))
+
+    dyc = AwflDycore.build(cpl, np.diff(zint), **(dycore_kwargs or {}))
+    state = dyc.declare_current_profile_as_hydrostatic(state)
+
+    micro_obj = None
+    if micro == "kessler":
+        from ..physics.kessler import KesslerMicro, init_state
+        state = init_state(cpl, state)
+        micro_obj = KesslerMicro(cpl)
+
+    drv = MmfDriver(coupler=cpl, dycore=dyc, micro=micro_obj,
+                    dt_gcm=dt_gcm, dt_crm_phys=dt_crm_phys)
+    return drv, state

@@ -1,0 +1,103 @@
+"""Monin-Obukhov-style surface momentum fluxes for the SGS scheme.
+
+Parity reference: pam_core/modules/surface_friction.h (z0_est roughness
+estimate, Businger-function diag_ustar with 8 fixed-point iterations, and
+the SAM-style momentum flux computation consumed by SHOC).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.coupler import Coupler
+
+VONK = 0.4
+EPS = 1.0e-10
+AM = 4.8
+BM = 19.3
+PI = 3.14159  # the reference's own truncated pi (surface_friction.h:11)
+
+
+def z0_est(z, bflx, wnd, ustar):
+    """Roughness-height estimate (ref: surface_friction.h:15-29)."""
+    c1 = PI / 2.0 - 3.0 * jnp.log(2.0)
+    rlmo = -bflx * VONK / (ustar ** 3 + EPS)
+    zeta = jnp.minimum(1.0, z * rlmo)
+    x = jnp.sqrt(jnp.sqrt(jnp.maximum(1.0 - BM * zeta, EPS)))
+    psi1_unstable = 2.0 * jnp.log(1.0 + x) + jnp.log(1.0 + x * x) - \
+        2.0 * jnp.arctan(x) + c1
+    psi1 = jnp.where(zeta >= 0.0, -AM * zeta, psi1_unstable)
+    lnz = jnp.maximum(0.0, VONK * wnd / (ustar + EPS) + psi1)
+    return z * jnp.exp(-lnz)
+
+
+def diag_ustar(z, bflx, wnd, z0):
+    """Friction velocity via Businger similarity, 8 fixed-point iterations
+    (ref: surface_friction.h:44-63)."""
+    lnz = jnp.log(z / z0)
+    c1 = PI / 2.0 - 3.0 * jnp.log(2.0)
+    ustar0 = wnd * VONK / lnz
+
+    def body(_, ustar):
+        rlmo = -bflx * VONK / (ustar ** 3 + EPS)
+        zeta = jnp.minimum(1.0, z * rlmo)
+        x = jnp.sqrt(jnp.sqrt(jnp.maximum(1.0 - BM * zeta, EPS)))
+        psi1 = 2.0 * jnp.log(1.0 + x) + jnp.log(1.0 + x * x) - \
+            2.0 * jnp.arctan(x) + c1
+        return jnp.where(zeta > 0.0,
+                         VONK * wnd / (lnz + AM * zeta),
+                         wnd * VONK / (lnz - psi1))
+
+    ustar = jax.lax.fori_loop(0, 8, body, ustar0)
+    return jnp.where(bflx != 0.0, ustar, ustar0)
+
+
+def surface_friction_init(coupler: Coupler, state, tau_in, bflx_in):
+    """Initialize roughness height and zero momentum-flux fields
+    (ref: surface_friction_init, surface_friction.h:66-104).
+
+    tau_in/bflx_in: (nens,) surface stress [N/m2] and buoyancy flux."""
+    out = dict(state)
+    rho_sfc = jnp.mean(state["density_dry"][:, 0] + state["water_vapor"][:, 0],
+                       axis=(-2, -1))  # (nens,)
+    wnd = jnp.maximum(1.0, jnp.sqrt(state["gcm_uvel"][:, 0] ** 2 +
+                                    state["gcm_vvel"][:, 0] ** 2))
+    ustar = jnp.sqrt(jnp.asarray(tau_in) / rho_sfc)
+    z0 = z0_est(state["vertical_midpoint_height"][:, 0],
+                jnp.asarray(bflx_in), wnd, ustar)
+    out["z0"] = jnp.clip(z0, 1.0e-5, 1.0)
+    out["sfc_bflx"] = jnp.asarray(bflx_in, coupler.dtype)
+    shp = (coupler.nens, coupler.ny, coupler.nx)
+    out["sfc_mom_flx_u"] = jnp.zeros(shp, coupler.dtype)
+    out["sfc_mom_flx_v"] = jnp.zeros(shp, coupler.dtype)
+    return out
+
+
+def compute_surface_friction(coupler: Coupler, state):
+    """SAM-style surface momentum fluxes in [m2/s2] for SHOC
+    (ref: compute_surface_friction, surface_friction.h:107-169)."""
+    out = dict(state)
+    u0 = state["uvel"][:, 0]   # (nens, ny, nx)
+    v0 = state["vvel"][:, 0]
+    rho0 = state["density_dry"][:, 0] + state["water_vapor"][:, 0]
+    u_mean = jnp.mean(u0, axis=(-2, -1), keepdims=True)
+    v_mean = jnp.mean(v0, axis=(-2, -1), keepdims=True)
+    rho_mean = jnp.mean(rho0, axis=(-2, -1), keepdims=True)
+    wnd = jnp.maximum(1.0, jnp.sqrt(u0 ** 2 + v0 ** 2))
+    zm0 = state["vertical_midpoint_height"][:, 0][:, None, None]
+    ustar = diag_ustar(zm0, state["sfc_bflx"][:, None, None], wnd,
+                       state["z0"][:, None, None])
+    tau00 = rho_mean * ustar * ustar
+    fu = -(u0 - u_mean) / wnd * tau00
+    fv = -(v0 - v_mean) / wnd * tau00
+    # convert [kg m/s2] -> [m2/s2]: extrapolate surface density, divide by dz
+    rho_mid = state["density_dry"] + state["water_vapor"]
+    rho_int0 = 0.5 * (rho_mid[:, 0] + rho_mid[:, 1])
+    rho_int1 = 0.5 * (rho_mid[:, 1] + rho_mid[:, 2])
+    rho_sfc = 2.0 * rho_int0 - rho_int1
+    dz0 = (state["vertical_interface_height"][:, 1] -
+           state["vertical_interface_height"][:, 0])[:, None, None]
+    out["sfc_mom_flx_u"] = fu * rho_sfc / dz0
+    out["sfc_mom_flx_v"] = fv * rho_sfc / dz0
+    return out

@@ -1,0 +1,146 @@
+"""Kessler warm-rain microphysics (qv / qc / qr), TPU-native.
+
+Parity reference: physics/micro/kessler/Microphysics.h — the device C++ port
+of the Klemp-Wilhelmson (1978) scheme with CFL-sub-cycled upstream rain
+sedimentation. The per-column kernel becomes whole-array ops over
+``(nens, nz, ny, nx)`` with z-shifts for sedimentation; the data-dependent
+``rainsplit`` sub-cycle count runs as a ``lax.while_loop`` under jit.
+
+Registers tracers water_vapor / cloud_liquid / precip_liquid (+ ``precl``
+surface precipitation rate), like Microphysics::init (Microphysics.h:69-76).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import Constants
+from ..core.coupler import Coupler
+
+TRACER_NAMES = ("water_vapor", "cloud_liquid", "precip_liquid")
+
+
+def register(coupler: Coupler) -> Coupler:
+    """Add Kessler's tracers and set scheme option (ref: init,
+    Microphysics.h:58-97)."""
+    cpl = coupler
+    cpl = cpl.add_tracer("water_vapor", "Water Vapor", True, True)
+    cpl = cpl.add_tracer("cloud_liquid", "Cloud liquid", True, True)
+    cpl = cpl.add_tracer("precip_liquid", "precip_liquid", True, True)
+    return cpl.with_options(micro="kessler")
+
+
+def init_state(coupler: Coupler, state):
+    out = dict(state)
+    out.setdefault("precl", jnp.zeros((coupler.nens, coupler.ny, coupler.nx),
+                                      coupler.dtype))
+    return out
+
+
+def _terminal_velocity(qr, r, rhalf):
+    """Liquid water terminal velocity, KW eq. 2.15
+    (ref: Microphysics.h:370)."""
+    return 36.34 * jnp.maximum(qr * r, 0.0) ** 0.1364 * rhalf
+
+
+def kessler_column(theta, qv, qc, qr, rho, z, exner, dt, c: Constants):
+    """Advance the Kessler scheme by dt.
+
+    All fields are (nens, nz, ny, nx); rho is DRY density; z is midpoint
+    height (nens, nz); exner = (p/p0)^(R/cp). Returns
+    (theta, qv, qc, qr, precl) with precl in m/s.
+    Ref: Microphysics::kessler, Microphysics.h:346-449.
+    """
+    psl = c.p0 / 100.0
+    rhoqr = 1000.0
+    lv = 2.5e6
+    Rd, cp = c.R_d, c.cp_d
+
+    z4 = z[:, :, None, None]
+    r = 0.001 * rho
+    rhalf = jnp.sqrt(rho[:, :1] / rho)
+    pc = 3.8 / (exner ** (cp / Rd) * psl)
+    velqr = _terminal_velocity(qr, r, rhalf)
+
+    # global CFL-limited sub-step (ref: Microphysics.h:372-390)
+    dz_up = z4[:, 1:] - z4[:, :-1]
+    dt2d = jnp.where(velqr[:, :-1] > 1.0e-10,
+                     0.8 * dz_up / velqr[:, :-1], dt)
+    dt_max = jnp.minimum(jnp.min(dt2d), dt)
+    rainsplit = jnp.ceil(dt / dt_max).astype(jnp.int32)
+    dt0 = dt / rainsplit.astype(theta.dtype)
+
+    def subcycle(carry):
+        nt, theta, qv, qc, qr, velqr, precl = carry
+        # surface precipitation accumulation (ref: :399-401)
+        precl = precl + rho[:, 0] * qr[:, 0] * velqr[:, 0] / rhoqr
+        # upstream sedimentation (ref: :403-408)
+        rqv = r * qr * velqr
+        sed_int = dt0 * (rqv[:, 1:] - rqv[:, :-1]) / (r[:, :-1] * dz_up)
+        sed_top = -dt0 * qr[:, -1:] * velqr[:, -1:] / \
+            (0.5 * (z4[:, -1:] - z4[:, -2:-1]))
+        sed = jnp.concatenate([sed_int, sed_top], axis=1)
+        # autoconversion + accretion, KW eq. 2.13 (ref: :413-417)
+        qrprod = qc - (qc - dt0 * jnp.maximum(0.001 * (qc - 0.001), 0.0)) / \
+            (1.0 + dt0 * 2.2 * jnp.maximum(qr, 0.0) ** 0.875)
+        qc = jnp.maximum(qc - qrprod, 0.0)
+        qr = jnp.maximum(qr + qrprod + sed, 0.0)
+        # saturation adjustment, KW eq. 2.11/3.10 (ref: :419-438)
+        tmp = exner * theta - 36.0
+        qvs = pc * jnp.exp(17.27 * (exner * theta - 273.0) / tmp)
+        prod = (qv - qvs) / (1.0 + qvs * (4093.0 * lv / cp) / (tmp * tmp))
+        rq = jnp.maximum(r * qr, 0.0)
+        tmp1 = dt0 * (((1.6 + 124.9 * rq ** 0.2046) * rq ** 0.525) /
+                      (2550000.0 * pc / (3.8 * qvs) + 540000.0)) * \
+            (jnp.maximum(qvs - qv, 0.0) / (r * qvs))
+        ern = jnp.minimum(tmp1, jnp.minimum(jnp.maximum(-prod - qc, 0.0), qr))
+        theta = theta + lv / (cp * exner) * (jnp.maximum(prod, -qc) - ern)
+        qv = jnp.maximum(qv - jnp.maximum(prod, -qc) + ern, 0.0)
+        qc = qc + jnp.maximum(prod, -qc)
+        qr = qr - ern
+        velqr = _terminal_velocity(qr, r, rhalf)
+        return nt + 1, theta, qv, qc, qr, velqr, precl
+
+    precl0 = jnp.zeros_like(rho[:, 0])
+    carry = (jnp.int32(0), theta, qv, qc, qr, velqr, precl0)
+    carry = jax.lax.while_loop(lambda ca: ca[0] < rainsplit, subcycle, carry)
+    _, theta, qv, qc, qr, _, precl = carry
+    precl = precl / rainsplit.astype(theta.dtype)
+    return theta, qv, qc, qr, precl
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class KesslerMicro:
+    """Coupler-facing wrapper (analog of Microphysics::timeStep,
+    Microphysics.h:123-274)."""
+    coupler: Coupler
+
+    @property
+    def name(self) -> str:
+        return "kessler"
+
+    def timestep(self, state, dt):
+        cpl, c = self.coupler, self.coupler.const
+        out = dict(state)
+        rho_d = state["density_dry"]
+        temp = state["temp"]
+        rho_v = state["water_vapor"]
+        rho_c = state["cloud_liquid"]
+        rho_r = state["precip_liquid"]
+        qv, qc, qr = rho_v / rho_d, rho_c / rho_d, rho_r / rho_d
+        pressure = c.R_d * rho_d * temp + c.R_v * rho_v * temp
+        exner = (pressure / c.p0) ** (c.R_d / c.cp_d)
+        theta = temp / exner
+        zmid = state["vertical_midpoint_height"]
+        theta, qv, qc, qr, precl = kessler_column(
+            theta, qv, qc, qr, rho_d, zmid, exner, dt, c)
+        out["water_vapor"] = qv * rho_d
+        out["cloud_liquid"] = qc * rho_d
+        out["precip_liquid"] = qr * rho_d
+        # theta is defined wrt the pre-micro exner (ref: Microphysics.h:251-258)
+        out["temp"] = theta * exner
+        out["precl"] = precl
+        return out

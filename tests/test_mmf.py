@@ -1,0 +1,69 @@
+"""MMF end-to-end: supercell column init + forcing + dycore + sponge +
+Kessler, mirroring the mmf_simplified driver loop (driver.cpp:237-272) at a
+CI-sized configuration (analog of inputs/ci/input_pamc.yaml scale-down)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pam_tpu.driver.mmf import setup_supercell_mmf
+from pam_tpu.driver.supercell_column import supercell_init_column
+from pam_tpu.core.constants import DEFAULT_CONSTANTS
+
+
+def test_supercell_column_physical():
+    zint = np.linspace(0.0, 20000.0, 51)
+    col = supercell_init_column(zint, DEFAULT_CONSTANTS)
+    # surface conditions: warm, dense, moist; decreasing with height
+    assert 1.0 < col["rho_d"][0] < 1.3
+    assert 295.0 < col["temp"][0] < 301.0
+    assert col["temp"][-1] < 220.0
+    assert (np.diff(col["rho_d"]) < 0).all()
+    assert col["rho_v"][0] > 0.005 and col["rho_v"][-1] < 1e-4
+    # shear profile: -15 m/s at surface to +15 aloft
+    assert col["uvel"][0] < -10 and col["uvel"][-1] > 14
+    # hydrostatic balance of the integrated column: dp/dz ~ -rho*g
+    p = (col["rho_d"] * DEFAULT_CONSTANTS.R_d +
+         col["rho_v"] * DEFAULT_CONSTANTS.R_v) * col["temp"]
+    dz = np.diff(zint)
+    rho_full = col["rho_d"] + col["rho_v"]
+    dpdz = np.diff(p) / (0.5 * (dz[:-1] + dz[1:]))
+    rho_mid = 0.5 * (rho_full[:-1] + rho_full[1:])
+    resid = np.abs(dpdz + rho_mid * DEFAULT_CONSTANTS.grav) / \
+        (rho_mid * DEFAULT_CONSTANTS.grav)
+    assert resid.max() < 0.02, resid.max()
+
+
+def test_mmf_supercell_kessler_short_run():
+    drv, state = setup_supercell_mmf(nx=16, ny=1, nz=20, nens=1,
+                                     xlen=32000.0, ylen=64000.0,
+                                     zlen=20000.0, micro="kessler",
+                                     dt_gcm=80.0, dt_crm_phys=20.0)
+    step = jax.jit(drv.gcm_step)
+    s = step(state)
+    s = step(s)
+    for name in ("density_dry", "uvel", "wvel", "temp", "water_vapor",
+                 "cloud_liquid", "precip_liquid"):
+        arr = np.asarray(s[name])
+        assert np.isfinite(arr).all(), name
+    # moisture stays nonnegative
+    assert float(jnp.min(s["water_vapor"])) >= 0
+    # winds bounded (stable integration)
+    assert float(jnp.max(jnp.abs(s["wvel"]))) < 30.0
+    assert float(jnp.max(jnp.abs(s["uvel"]))) < 60.0
+    # temperature stays physical
+    t = np.asarray(s["temp"])
+    assert t.min() > 180.0 and t.max() < 330.0
+
+
+def test_mmf_forcing_keeps_column_near_gcm():
+    """With forcing on, the horizontal-mean state stays anchored to the GCM
+    column over a GCM step (the MMF contract, gcm_forcing.h:8-17)."""
+    drv, state = setup_supercell_mmf(nx=16, ny=1, nz=20, nens=1,
+                                     xlen=32000.0, ylen=64000.0,
+                                     zlen=20000.0, micro="kessler",
+                                     dt_gcm=60.0, dt_crm_phys=20.0)
+    s = jax.jit(drv.gcm_step)(state)
+    t_mean = np.asarray(jnp.mean(s["temp"], axis=(-2, -1)))[0]
+    t_gcm = np.asarray(s["gcm_temp"])[0]
+    assert np.abs(t_mean - t_gcm).max() < 5.0
