@@ -342,20 +342,35 @@ class AwflDycore:
             pos = jnp.asarray(tpos)[:, None, None, None, None]
             mult = jnp.where(pos, mult, 1.0)
 
-            def limit(flux, ax):
-                # face flux > 0 exits the cell on its minus side; < 0 exits the
-                # cell on its plus side. Pad cell multipliers with 1 at domain
-                # boundary faces.
+            def limit(flux, ax, periodic):
+                # A face flux > 0 exits the cell on its minus side; < 0 exits
+                # the cell on its plus side — only the exiting cell's
+                # multiplier applies (the reference's race-freedom argument,
+                # Dycore.h:521-524). Horizontal axes wrap periodically so the
+                # duplicated wrap faces receive identical scaling (this
+                # replaces the reference's post-hoc min() reconciliation at
+                # the seam, Dycore.h:574-579, with the uniform interior rule
+                # — required for sharding-invariant results). Vertical axis
+                # pads with 1 (rigid boundaries).
                 pw = [(0, 0)] * 5
-                pw[ax] = (1, 0)
-                ml = jnp.pad(mult, pw, constant_values=1.0)  # left cell of face
-                pw[ax] = (0, 1)
-                mr = jnp.pad(mult, pw, constant_values=1.0)  # right cell
+                if periodic:
+                    sl_last = [slice(None)] * 5
+                    sl_first = [slice(None)] * 5
+                    sl_last[ax] = slice(-1, None)
+                    sl_first[ax] = slice(0, 1)
+                    ml = jnp.concatenate([mult[tuple(sl_last)], mult], axis=ax)
+                    mr = jnp.concatenate([mult, mult[tuple(sl_first)]], axis=ax)
+                else:
+                    pw[ax] = (1, 0)
+                    ml = jnp.pad(mult, pw, constant_values=1.0)
+                    pw[ax] = (0, 1)
+                    mr = jnp.pad(mult, pw, constant_values=1.0)
                 return flux * jnp.where(flux > 0, ml, jnp.where(flux < 0, mr, 1.0))
 
-            tfx = limit(tfx, AX_X)
-            tfy = limit(tfy, AX_Y)
-            tfz = limit(tfz, AX_Z)
+            tfx = limit(tfx, AX_X, True)
+            if not cpl.sim2d:
+                tfy = limit(tfy, AX_Y, True)
+            tfz = limit(tfz, AX_Z, False)
 
         # ---- flux divergence + gravity source ---- (ref: Dycore.h:553-584)
         def div(f, ax, d):
@@ -374,12 +389,6 @@ class AwflDycore:
         if cpl.sim2d:
             s_tend = s_tend.at[ID_V].set(0.0)
 
-        # periodic-face flux reconciliation for tracers (ref: Dycore.h:574-579)
-        fx_lo = jnp.minimum(tfx[:, :, :, :, :1], tfx[:, :, :, :, -1:])
-        tfx = jnp.concatenate([fx_lo, tfx[:, :, :, :, 1:-1], fx_lo], axis=AX_X)
-        if not cpl.sim2d:
-            fy_lo = jnp.minimum(tfy[:, :, :, :1, :], tfy[:, :, :, -1:, :])
-            tfy = jnp.concatenate([fy_lo, tfy[:, :, :, 1:-1, :], fy_lo], axis=AX_Y)
         t_tend = -(div(tfx, AX_X, dx) + div(tfy, AX_Y, dy) + div(tfz, AX_Z, dz4))
         return s_tend, t_tend
 
