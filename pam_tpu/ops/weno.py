@@ -25,7 +25,8 @@ _EPS = 1.0e-20
 @functools.cache
 def weno_tables(ord: int, dtype=jnp.float64):
     """Static tables for a given order: (s2c, wrl, tv_hi, tv_lo, c2g, idl,
-    sigma)."""
+    sigma). Cached as NUMPY arrays — caching jnp arrays would capture
+    tracers when first invoked inside a jit trace."""
     s2c = rm.sten_to_coefs(ord)
     wrl = rm.weno_lower_sten_to_coefs(ord)
     tv_hi = rm.tv_quadform(ord)
@@ -33,7 +34,8 @@ def weno_tables(ord: int, dtype=jnp.float64):
     tv_lo = rm.tv_quadform(hs)
     c2g = rm.coefs_to_gll_lower(ord)
     idl, sigma = rm.weno_ideal_weights(ord)
-    to = lambda x: jnp.asarray(x, dtype=dtype)
+    import numpy as np
+    to = lambda x: np.asarray(x, dtype=np.dtype(dtype))
     return to(s2c), to(wrl), to(tv_hi), to(tv_lo), to(c2g), to(idl), float(sigma)
 
 

@@ -1,0 +1,5 @@
+from .geometry import ExtrudedGeometry
+from .thermo import (ThermoConstants, IdealGasPottemp,
+                     ConstantKappaVirtualPottemp)
+from .varset import VariableSet
+from .tendencies import SpamTendencies

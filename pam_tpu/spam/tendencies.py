@@ -1,0 +1,314 @@
+"""SPAM extruded-model tendencies: the apply_symplectic pipeline.
+
+Parity reference: dynamics/spam/src/models/extrudedmodel.h (ndims=1,
+uniform vertical grid, WENOFUNC order-5 reconstructions, HEAVISIDE
+upwinding, energy-conserving (EC) PV fluxes, Zalesak FCT for positive
+densities) — the reference's compile-time defaults (src/common.h:62-126).
+
+TPU-first redesign: the reference's ~20 staged kernels with inter-stage MPI
+exchanges collapse into one fused pure function over whole arrays; halo
+exchanges become periodic rolls (x) and mirror pads (z); every WENO
+evaluation is the batched limiter from pam_tpu.ops.weno.
+
+Sign convention: compute_rhs returns F with dx/dt = -F, matching the
+reference integrators (SSPRK.h:63-78 uses waxpy(-dt, F, x)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import weno
+from . import operators as op
+from .operators import rollm, mirror_layer, mirror_iface, AXZ
+
+
+def _edge_recon_x(field, tables):
+    """WENO edge reconstruction along x (periodic): for each cell return
+    (left_edge, right_edge) values. field: (..., nens, nlev, nx)."""
+    s2c, wrl, tvh, tvl, c2g, idl, sigma = tables
+    ord = s2c.shape[-1]
+    hs = (ord - 1) // 2
+    # periodic x windows: stencil for cell i = cells i-hs..i+hs
+    sl = [jnp.roll(field, hs - s, axis=-1) for s in range(ord)]
+    sten = jnp.stack(sl, axis=-1)  # (..., nx, ord)
+    aw = weno.weno_coefs(sten, s2c, wrl, tvh, tvl, idl, sigma)
+    left = jnp.einsum('...c,c->...', aw, c2g[:, 0])
+    right = jnp.einsum('...c,c->...', aw, c2g[:, 1])
+    return left, right
+
+
+def _edge_recon_z(field_padded, tables, nlev):
+    """WENO edge reconstruction in z for cells 0..nlev-1 from a z-padded
+    array (pad hs on each side): returns (bottom_edge, top_edge) per cell."""
+    s2c, wrl, tvh, tvl, c2g, idl, sigma = tables
+    ord = s2c.shape[-1]
+    sten = weno.windows(field_padded, ord, AXZ)  # (..., nlev(+extra), nx, ord)
+    sten = sten[..., :nlev, :, :]
+    aw = weno.weno_coefs(sten, s2c, wrl, tvh, tvl, idl, sigma)
+    bottom = jnp.einsum('...c,c->...', aw, c2g[:, 0])
+    top = jnp.einsum('...c,c->...', aw, c2g[:, 1])
+    return bottom, top
+
+
+def _upwind_x(left, right, flux):
+    """Twisted x recon at edge i: flux>=0 selects right-edge of cell i-1,
+    else left-edge of cell i (recon.h upwind_recon with Heaviside;
+    copysign(1,0)=+1 so ties go upwind-left)."""
+    cand_L = rollm(right, -1)  # right edge of cell i-1
+    return jnp.where(flux >= 0, cand_L, left)
+
+
+def _upwind_z(bottom, top, flux_int):
+    """Twisted z recon at interior interfaces k=1..nlev-1: flux>=0 selects
+    top-edge of cell k-1 else bottom-edge of cell k. Returns (..., nlev-1, nx)."""
+    return jnp.where(flux_int >= 0, top[..., :-1, :], bottom[..., 1:, :])
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class SpamTendencies:
+    """All static config + precomputed tables for the extruded CE/MCE model."""
+    geom: Any
+    varset: Any
+    thermo: Any
+    grav: float = 9.80616
+    ord: int = 5
+    force_refstate_hydrostatic_balance: bool = False
+    # reference state columns (None -> zeros); shapes (ndens, nens, nz[,+1])
+    refdens: Any = None          # dual layers
+    ref_q_pi: Any = None         # (ndens, nens, nz)   concentrations at v-levels
+    ref_rho_pi: Any = None       # (nens, nz)
+    ref_q_di: Any = None         # (ndens, nens, nz+1) at dual interfaces
+    ref_rho_di: Any = None       # (nens, nz+1)
+    ref_B: Any = None            # (nactive, nens, nz)
+
+    def tables(self):
+        return weno.weno_tables(self.ord, dtype=self.geom.dtype)
+
+    @property
+    def hs(self):
+        return (self.ord - 1) // 2
+
+    # ------------------------------------------------------------------
+    def functional_derivatives(self, dens, v, w, geop):
+        """F, FW, K, B (ref: compute_functional_derivatives,
+        extrudedmodel.h:1996-2084 + Hamiltonian_Hk_extruded.compute_he_U_and_K
+        kinetic_energy.h:306-395)."""
+        g = self.geom
+        vs = self.varset
+        th = self.thermo
+        rho_n = vs.get_total_density(dens)        # n-form
+        rho0 = op.Hn1bar(rho_n, g)                # actual density
+        # he at x-edges; hew at dual interfaces (mirror-layer pad)
+        he = op.phi_x(rho0)
+        rho0_pad = mirror_layer(rho0, 1)
+        hew = op.phi_z_iface(rho0_pad)            # (nens, nz+1, nx)
+        u = op.H10(v, g)
+        uw = op.H01(w, g)                         # zero at boundaries
+        F = he * u
+        FW = hew * uw
+        # kinetic energy per dual cell (kinetic_energy.h:383-394)
+        v_pad_r = rollm(v, 1)      # v[k,i+1]
+        u_pad_r = rollm(u, 1)
+        Kh = 0.5 * (v * u + v_pad_r * u_pad_r)
+        w_pad = mirror_layer(w, 1)                # w_pad[k] = w[k-1]
+        Kv = 0.5 * (w_pad[..., :-1, :] * uw[..., :-1, :] +
+                    w_pad[..., 1:, :] * uw[..., 1:, :])
+        K = 0.5 * (Kh + Kv)
+        # B (Hs.compute_dHsdx + Hk.compute_dKddens)
+        alpha = vs.get_alpha(dens)
+        sv = vs.get_entropic_var(dens)
+        qd, qv, ql, qi = vs.moist_qs(dens)
+        geop0 = op.Hn1bar(geop, g)
+        U = th.compute_U(alpha, sv, qd, qv, ql, qi)
+        p = -th.compute_dUdalpha(alpha, sv, qd, qv, ql, qi)
+        gExner = th.compute_dUdentropic_var(alpha, sv, qd, qv, ql, qi)
+        B_mass = geop0 + U + p * alpha - sv * gExner
+        if vs.variant != "CE":
+            mu_d, mu_v, mu_l, mu_i = th.compute_dUdq(alpha, sv, qd, qv, ql, qi)
+            B_mass = B_mass + qv * (mu_d - mu_v) + ql * (mu_d - mu_l) + \
+                qi * (mu_d - mu_i)
+        B_mass = B_mass + op.Hn1bar(K, g)
+        B_entr = gExner
+        B = jnp.stack([B_mass, B_entr])
+        return F, FW, K, B
+
+    # ------------------------------------------------------------------
+    def q_and_f(self, dens, v, w):
+        """Relative PV q and planetary f at dual vertices
+        (ref: compute_q_and_f, extrudedmodel.h:543-589 +
+        Functional_PVPE_extruded, functionals.h:104-400). Coriolis is zero
+        for the x-z slab. Returns qhz (nens, nz+1, nx) with zero boundary
+        rows (set_bnd, extrudedmodel.h:2226)."""
+        rho_n = self.varset.get_total_density(dens)
+        hv = op.R_avg(rho_n)
+        w_pad = mirror_layer(w, 1)
+        zeta = op.D1_ext(v, w_pad)
+        nz1 = zeta.shape[AXZ]
+        k = jnp.arange(nz1)
+        interior = ((k > 0) & (k < nz1 - 1))[None, :, None]
+        qhz = jnp.where(interior, zeta / jnp.where(hv == 0, 1.0, hv), 0.0)
+        return qhz
+
+    # ------------------------------------------------------------------
+    def recons(self, dens, qhz, F, FW, FT, FTW):
+        """Upwinded WENO reconstructions of densities and PV
+        (ref: compute_edge_reconstructions_uniform + compute_recons,
+        extrudedmodel.h:591-711, 1000-1174)."""
+        g, vs = self.geom, self.varset
+        tb = self.tables()
+        hs = self.hs
+        dtype = dens.dtype
+        rho_n = vs.get_total_density(dens)
+        rho0 = op.Hn1bar(rho_n, g)
+
+        # dens0 = (dens - refdens)/area  (compute_dens0, :379-417)
+        if self.refdens is not None:
+            dens0 = op.Hn1bar(dens - self.refdens[:, :, :, None], g)
+        else:
+            dens0 = op.Hn1bar(dens, g)
+
+        # --- horizontal density recon at x-edges of dual cells ---
+        dl, dr = _edge_recon_x(dens0, tb)
+        densrecon = _upwind_x(dl, dr, F[None])
+        he = op.phi_x(rho0)
+        if self.ref_rho_pi is not None:
+            densrecon = densrecon + (self.ref_rho_pi[None, :, :, None] *
+                                     self.ref_q_pi[:, :, :, None])
+        densrecon = densrecon / he[None]
+
+        # --- vertical density recon at dual interfaces ---
+        dens0_zpad = mirror_iface(dens0, hs)
+        db, dt_ = _edge_recon_z(dens0_zpad, tb, g.nz)
+        vert_int = _upwind_z(db, dt_, FW[None, :, 1:-1, :])
+        # boundary rows: use one-sided edge values (multiplied by FW=0 anyway)
+        densvertrecon = jnp.concatenate(
+            [db[..., :1, :], vert_int, dt_[..., -1:, :]], axis=AXZ)
+        rho0_pad = mirror_layer(rho0, 1)
+        hew = op.phi_z_iface(rho0_pad)
+        if self.ref_rho_di is not None:
+            densvertrecon = densvertrecon + (self.ref_rho_di[None, :, :, None] *
+                                             self.ref_q_di[:, :, :, None])
+        densvertrecon = densvertrecon / hew[None]
+
+        # --- qhz recons (note the reference's level-k storage convention:
+        # the stencil for primal layer k reads qhz at interface k,
+        # recon.h:176-220) ---
+        q_w_levels = qhz[..., :g.nz - 1, :]         # interfaces 0..nz-2
+        ql_, qr_ = _edge_recon_x(q_w_levels, tb)
+        # straight recon at edge between cells i,i+1, stored at i
+        qhzrecon = jnp.where(FTW >= 0, qr_, rollm(ql_, 1))
+        # vertical: stencil per primal layer k over interfaces (mirror-iface)
+        qhz_pad = mirror_iface(qhz, hs)[..., :g.nz - 1 + 2 * hs, :]
+        qb, qt = _edge_recon_z(qhz_pad, tb, g.nz - 1)
+        # straight vert recon at v-level kv from primal-layer cells kv-1 (top)
+        # and kv (bottom), upwinded by -FT (the d=0 'twist', recon.h:581-585)
+        qt_pad = mirror_layer(qt, 1)   # qt_pad[k] = qt[k-1]
+        cand0 = qt_pad[..., :g.nz, :]               # cell kv-1 top edge
+        cand1 = jnp.concatenate([qb, qb[..., -1:, :]], axis=AXZ)  # cell kv bottom
+        qhzvertrecon = jnp.where(-FT >= 0, cand0, cand1)
+        return densrecon, densvertrecon, qhzrecon, qhzvertrecon
+
+    # ------------------------------------------------------------------
+    def fct(self, dens, densrecon, densvertrecon, F, FW, dt):
+        """Zalesak FCT limiting of positive-density reconstructions
+        (ref: extrudedmodel.h:2331-2392 + operators/fct.h)."""
+        pos = jnp.asarray(self.varset.dens_pos)[:, None, None, None]
+        edgeflux = densrecon * F[None]
+        vertedgeflux = densvertrecon * FW[None]
+        eps = 1.0e-8
+        out_x = jnp.maximum(rollm(edgeflux, 1), 0.0) - \
+            jnp.minimum(edgeflux, 0.0)
+        out_z = jnp.maximum(vertedgeflux[..., 1:, :], 0.0) - \
+            jnp.minimum(vertedgeflux[..., :-1, :], 0.0)
+        Mf = (out_x + out_z) * dt + eps
+        # Phi at x-edges: upwind cell i-1 if edgeflux>0 else i (fct.h:190-210)
+        ratio = jnp.minimum(1.0, dens / Mf)
+        phi_x_ = jnp.where(edgeflux > 0, rollm(ratio, -1), ratio)
+        densrecon = jnp.where(pos, densrecon * phi_x_, densrecon)
+        # Phivert at interior interfaces: upwind cell k-1 if >0 else k
+        vf = vertedgeflux[..., 1:-1, :]
+        phi_z = jnp.where(vf > 0, ratio[..., :-1, :], ratio[..., 1:, :])
+        ones = jnp.ones_like(densvertrecon[..., :1, :])
+        phi_z_full = jnp.concatenate([ones, phi_z, ones], axis=AXZ)
+        densvertrecon = jnp.where(pos, densvertrecon * phi_z_full,
+                                  densvertrecon)
+        return densrecon, densvertrecon
+
+    # ------------------------------------------------------------------
+    def tendencies_final(self, densrecon, densvertrecon, qhzrecon,
+                         qhzvertrecon, B, F, FW):
+        """Assemble -dx/dt (ref: compute_tendencies,
+        extrudedmodel.h:1645-1921)."""
+        vs = self.varset
+        nact = vs.ndensity_active  # active ids are 0..nact-1 for CE/MCE
+        # Wtend at w-points (primal layers)
+        dBz = B[:, :, 1:, :] - B[:, :, :-1, :]      # (nact, nens, nz-1, nx)
+        wtend = jnp.einsum('lekx,lekx->ekx',
+                           densvertrecon[:nact, :, 1:-1, :], dBz)
+        if self.force_refstate_hydrostatic_balance:
+            # + wD0_vert(ref q_di, ref B) (extrudedmodel.h:1684-1688)
+            dB_ref = self.ref_B[:, :, 1:] - self.ref_B[:, :, :-1]
+            wtend = wtend + jnp.einsum(
+                'lek,lek->ek', self.ref_q_di[:nact, :, 1:-1], dB_ref)[..., None]
+        wtend = wtend + op.Qxz_w(qhzrecon, qhzvertrecon, F)
+        # Vtend at v-points (primal interfaces)
+        dBx = B - rollm(B, -1)                      # B[i]-B[i-1]
+        vtend = jnp.einsum('lekx,lekx->ekx', densrecon[:nact], dBx)
+        vtend = vtend + op.Qxz_u(mirror_layer(qhzrecon, 1), qhzvertrecon, FW)
+        # dens tendencies at dual cells
+        denstend = op.Dnm1bar_x(F[None], densrecon) + \
+            op.Dnm1bar_vert(FW[None], densvertrecon)
+        return denstend, vtend, wtend
+
+    # ------------------------------------------------------------------
+    def compute_rhs(self, dens, v, w, geop, dt):
+        """Full apply_symplectic (extrudedmodel.h:2173-2486). Returns
+        (Fdens, Fv, Fw) with d(dens,v,w)/dt = -(Fdens, Fv, Fw)."""
+        F, FW, K, B = self.functional_derivatives(dens, v, w, geop)
+        FT = op.Wxz_u(FW)
+        FTW = op.Wxz_w(F)
+        qhz = self.q_and_f(dens, v, w)
+        densrecon, densvertrecon, qhzrecon, qhzvertrecon = \
+            self.recons(dens, qhz, F, FW, FT, FTW)
+        densrecon, densvertrecon = self.fct(dens, densrecon, densvertrecon,
+                                            F, FW, dt)
+        return self.tendencies_final(densrecon, densvertrecon, qhzrecon,
+                                     qhzvertrecon, B, F, FW)
+
+    # ------------------------------------------------------------------
+    def energy(self, dens, v, w, geop):
+        """Total/kinetic/potential/internal energy per ensemble member
+        (ref: ModelStats::compute, extrudedmodel.h:4599-4860)."""
+        g, vs, th = self.geom, self.varset, self.thermo
+        rho_n = vs.get_total_density(dens)
+        alpha = vs.get_alpha(dens)
+        sv = vs.get_entropic_var(dens)
+        qd, qv, ql, qi = vs.moist_qs(dens)
+        IE = jnp.sum(rho_n * th.compute_U(alpha, sv, qd, qv, ql, qi),
+                     axis=(-2, -1))
+        PE = jnp.sum(rho_n * op.Hn1bar(geop, g), axis=(-2, -1))
+        _, _, K, _ = self.functional_derivatives(dens, v, w, geop)
+        KE = jnp.sum(op.Hn1bar(rho_n, g) * K, axis=(-2, -1))
+        return KE + PE + IE, KE, PE, IE
+
+    def ssprk3_step(self, dens, v, w, geop, dt):
+        """(ref: SSPRK.h:60-78; x1 = x - dt F(x), etc.)."""
+        def rhs(d_, v_, w_):
+            return self.compute_rhs(d_, v_, w_, geop, dt)
+
+        Fd, Fv, Fw = rhs(dens, v, w)
+        d1, v1, w1 = dens - dt * Fd, v - dt * Fv, w - dt * Fw
+        Fd, Fv, Fw = rhs(d1, v1, w1)
+        d2 = 0.75 * dens + 0.25 * d1 - 0.25 * dt * Fd
+        v2 = 0.75 * v + 0.25 * v1 - 0.25 * dt * Fv
+        w2 = 0.75 * w + 0.25 * w1 - 0.25 * dt * Fw
+        Fd, Fv, Fw = rhs(d2, v2, w2)
+        d3 = (1. / 3.) * dens + (2. / 3.) * d2 - (2. / 3.) * dt * Fd
+        v3 = (1. / 3.) * v + (2. / 3.) * v2 - (2. / 3.) * dt * Fv
+        w3 = (1. / 3.) * w + (2. / 3.) * w2 - (2. / 3.) * dt * Fw
+        return d3, v3, w3

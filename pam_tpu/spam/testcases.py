@@ -1,0 +1,133 @@
+"""Idealized test cases for the SPAM extruded model.
+
+Parity reference: dynamics/spam/src/models/extrudedmodel.h test-case structs
+(RisingBubble:6194, TwoBubbles:6279, DensityCurrent:6371, GravityWave:6593)
+with quadrature projection of the analytic fields onto n1-forms
+(geometry.h set_n1form_values, 5-point Gauss rules per ic_quad_pts,
+common.h:118-120).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import recon_matrices as rm
+
+
+def _gauss_legendre(n):
+    """Gauss-Legendre points/weights on [0, 1]."""
+    p, w = np.polynomial.legendre.leggauss(n)
+    return 0.5 * (p + 1.0), 0.5 * w
+
+
+def isentropic_T(z, theta0, g, cst):
+    return theta0 - z * g / cst.Cpd
+
+
+def isentropic_p(z, theta0, g, cst):
+    return cst.pr * (isentropic_T(z, theta0, g, cst) / theta0) ** (1.0 / cst.kappa_d)
+
+
+def isentropic_rho(z, theta0, g, cst):
+    p = isentropic_p(z, theta0, g, cst)
+    T = isentropic_T(z, theta0, g, cst)
+    return p / (cst.Rd * T)
+
+
+@dataclasses.dataclass(frozen=True)
+class RisingBubble:
+    """Dry rising thermal in an isentropic background
+    (ref: extrudedmodel.h:6194-6279; acoustic_balance=False branch)."""
+    g: float = 9.80616
+    Lx: float = 1000.0
+    Lz: float = 1500.0
+    theta0: float = 300.0
+    bzc: float = 350.0
+    dss: float = 0.5
+    rc: float = 250.0
+
+    @property
+    def xc(self):
+        return 0.5 * self.Lx
+
+    def rho_f(self, x, z, thermo):
+        return isentropic_rho(z, self.theta0, self.g, thermo.cst)
+
+    def entropicvar_f(self, x, z, thermo):
+        cst = thermo.cst
+        p = isentropic_p(z, self.theta0, self.g, cst)
+        T = isentropic_T(z, self.theta0, self.g, cst)
+        r = np.sqrt((x - self.xc) ** 2 + (z - self.bzc) ** 2)
+        dtheta = np.where(r < self.rc,
+                          self.dss * 0.5 * (1.0 + np.cos(np.pi * r / self.rc)),
+                          0.0)
+        dT = dtheta * (p / cst.pr) ** cst.kappa_d
+        return thermo.compute_entropic_var_from_p_T(p, T + dT, 1.0, 0, 0, 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class DensityCurrent:
+    """Cold blob in a neutrally stratified atmosphere
+    (ref: extrudedmodel.h:6371-6470)."""
+    g: float = 9.80616
+    Lx: float = 51200.0
+    Lz: float = 6400.0
+    theta0: float = 300.0
+    bzc: float = 3000.0
+    bxr: float = 4000.0
+    bzr: float = 2000.0
+    dss: float = -15.0
+
+    @property
+    def xc(self):
+        return 0.5 * self.Lx
+
+    def rho_f(self, x, z, thermo):
+        return isentropic_rho(z, self.theta0, self.g, thermo.cst)
+
+    def entropicvar_f(self, x, z, thermo):
+        cst = thermo.cst
+        p = isentropic_p(z, self.theta0, self.g, cst)
+        T = isentropic_T(z, self.theta0, self.g, cst)
+        r = np.sqrt(((x - self.xc) / self.bxr) ** 2 +
+                    ((z - self.bzc) / self.bzr) ** 2)
+        dtheta = np.where(r <= 1.0,
+                          self.dss * 0.5 * (1.0 + np.cos(np.pi * r)), 0.0)
+        dT = dtheta * (p / cst.pr) ** cst.kappa_d
+        return thermo.compute_entropic_var_from_p_T(p, T + dT, 1.0, 0, 0, 0)
+
+
+def project_n1form(f, geom, nq: int = 5):
+    """Cell-average (n1-form) projection of f(x, z) over dual cells by
+    tensor-product Gauss quadrature (analog of set_n1form_values).
+    Returns (nens, nz, nx) n-form values (integral = avg * dx * dz)."""
+    qp, qw = _gauss_legendre(nq)
+    nx, nz, nens = geom.nx, geom.nz, geom.nens
+    dx = geom.dx
+    x0 = (np.arange(nx))[None, None, :, None, None] * dx
+    zint = geom.zint_d  # (nens, nz+1)
+    zlo = zint[:, :-1][:, :, None, None, None]
+    dz = geom.dz_d[:, :, None, None, None]
+    xq = x0 + qp[None, None, None, :, None] * dx
+    zq = zlo + qp[None, None, None, None, :] * dz
+    vals = f(np.broadcast_to(xq, (nens, nz, nx, nq, nq)),
+             np.broadcast_to(zq, (nens, nz, nx, nq, nq)))
+    avg = np.einsum('ekxab,a,b->ekx', vals, qw, qw)
+    return avg * dx * geom.dz_d[:, :, None]
+
+
+def setup_testcase(tc, geom, thermo, varset_cls=None):
+    """Build initial (dens, v, w, geop) for a dry CE test case."""
+    dens_rho = project_n1form(lambda x, z: tc.rho_f(x, z, thermo), geom)
+    dens_S = project_n1form(
+        lambda x, z: tc.rho_f(x, z, thermo) * tc.entropicvar_f(x, z, thermo),
+        geom)
+    geop = project_n1form(lambda x, z: tc.g * z, geom)
+    dtype = geom.dtype
+    dens = jnp.stack([jnp.asarray(dens_rho, dtype), jnp.asarray(dens_S, dtype)])
+    v = jnp.zeros((geom.nens, geom.nz, geom.nx), dtype)
+    w = jnp.zeros((geom.nens, geom.nz - 1, geom.nx), dtype)
+    return dens, v, w, jnp.asarray(geop, dtype)

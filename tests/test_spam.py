@@ -1,0 +1,114 @@
+"""SPAM structure-preserving dycore tests: operator identities, conservation
+and rising-bubble physics (analog of the reference's operator_properties/
+suites and the stats-based conservation checks, SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pam_tpu.spam import (ExtrudedGeometry, IdealGasPottemp, VariableSet,
+                          SpamTendencies)
+from pam_tpu.spam import operators as op
+from pam_tpu.spam import testcases as tcs
+
+
+def make_bubble(nx=20, nz=15, nens=1, dtype=jnp.float64):
+    tc = tcs.RisingBubble()
+    geom = ExtrudedGeometry.build(nx, np.linspace(0.0, tc.Lz, nz + 1),
+                                  tc.Lx, nens, dtype)
+    thermo = IdealGasPottemp()
+    vs = VariableSet(variant="CE", geom=geom, thermo=thermo)
+    tend = SpamTendencies(geom=geom, varset=vs, thermo=thermo, grav=tc.g)
+    dens, v, w, geop = tcs.setup_testcase(tc, geom, thermo)
+    return tc, geom, thermo, vs, tend, dens, v, w, geop
+
+
+def test_geometry_staggering():
+    geom = ExtrudedGeometry.build(8, np.linspace(0, 1500, 16), 1000.0)
+    # straight interfaces at dual midpoints, boundaries at domain edges
+    assert np.isclose(geom.zint_p[0, 0], 0.0)
+    assert np.isclose(geom.zint_p[0, -1], 1500.0)
+    assert np.allclose(geom.zint_p[0, 1:-1],
+                       0.5 * (geom.zint_d[0, 1:-2] + geom.zint_d[0, 2:-1]))
+    # uniform: boundary straight layers are 1.5 dz
+    dz = 100.0
+    assert np.isclose(geom.dz_p[0, 0], 1.5 * dz)
+    assert np.isclose(geom.dz_p[0, -1], 1.5 * dz)
+    assert np.allclose(geom.dz_p[0, 1:-1], dz)
+
+
+def test_curl_of_gradient_vanishes():
+    """D1_ext applied to a 'gradient' velocity field (v = D0_x phi,
+    w = D0_vert phi) gives zero vorticity at interior vertices — the
+    discrete d∘d = 0 identity (analog of test/operator_properties)."""
+    rng = np.random.default_rng(0)
+    nz, nx = 12, 16
+    phi = jnp.asarray(rng.standard_normal((1, nz, nx)))  # at dual layers?
+    # phi at v-levels (nz); v = phi[i]-phi[i-1]; w = phi[k+1]-phi[k]
+    v = phi - op.rollm(phi, -1)
+    w = phi[:, 1:, :] - phi[:, :-1, :]
+    w_pad = op.mirror_layer(w, 1)
+    zeta = op.D1_ext(v, w_pad)
+    assert np.allclose(np.asarray(zeta)[:, 1:-1, :], 0.0, atol=1e-13)
+
+
+def test_divergence_telescopes():
+    """Sum over cells of Dnm1bar divergence = boundary fluxes only (exact
+    mass conservation of the flux form)."""
+    rng = np.random.default_rng(1)
+    nz, nx = 10, 12
+    F = jnp.asarray(rng.standard_normal((1, nz, nx)))
+    FW = jnp.asarray(rng.standard_normal((1, nz + 1, nx)))
+    FW = FW.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    div = op.Dnm1bar_x(F) + op.Dnm1bar_vert(FW)
+    assert abs(float(jnp.sum(div))) < 1e-12
+
+
+def test_rising_bubble_conserves_mass_entropy():
+    tc, geom, thermo, vs, tend, dens, v, w, geop = make_bubble()
+    dt = 0.05  # explicit acoustic CFL: dx=50m, cs~347 m/s
+    step = jax.jit(lambda d, vv, ww: tend.ssprk3_step(d, vv, ww, geop, dt))
+    mass0 = float(jnp.sum(dens[0]))
+    entr0 = float(jnp.sum(dens[1]))
+    for _ in range(20):
+        dens, v, w = step(dens, v, w)
+    assert np.isfinite(np.asarray(dens)).all()
+    assert np.isfinite(np.asarray(w)).all()
+    mass1 = float(jnp.sum(dens[0]))
+    entr1 = float(jnp.sum(dens[1]))
+    # exact conservation (flux form): ~machine precision
+    assert abs(mass1 - mass0) / mass0 < 1e-12
+    assert abs(entr1 - entr0) / entr0 < 1e-12
+
+
+def test_rising_bubble_energy_and_physics():
+    tc, geom, thermo, vs, tend, dens, v, w, geop = make_bubble(nx=25, nz=20)
+    dt = 0.04
+    step = jax.jit(lambda d, vv, ww: tend.ssprk3_step(d, vv, ww, geop, dt))
+    E0, KE0, PE0, IE0 = tend.energy(dens, v, w, geop)
+    for _ in range(100):
+        dens, v, w = step(dens, v, w)
+    E1, KE1, PE1, IE1 = tend.energy(dens, v, w, geop)
+    # total energy conserved to time-integration accuracy
+    assert abs(float(E1[0] - E0[0]) / float(E0[0])) < 1e-7
+    # bubble rises: kinetic energy grows from zero, w positive at center
+    assert float(KE1[0]) > 0
+    # w is a (0,1)-form = w_phys * dz_p; acoustic transient + buoyancy
+    wmax = float(jnp.max(w / jnp.asarray(geom.dz_p)[:, :, None]))
+    assert 1e-4 < wmax < 10.0, wmax
+    # updraft is centered on the bubble
+    wc = np.asarray(w)[0]
+    imax = np.unravel_index(np.argmax(wc), wc.shape)[1]
+    assert abs(imax - geom.nx // 2) <= 2
+
+
+def test_rising_bubble_x_symmetry():
+    tc, geom, thermo, vs, tend, dens, v, w, geop = make_bubble(nx=16, nz=12)
+    dt = 0.05
+    step = jax.jit(lambda d, vv, ww: tend.ssprk3_step(d, vv, ww, geop, dt))
+    for _ in range(10):
+        dens, v, w = step(dens, v, w)
+    wv = np.asarray(w)[0]
+    # mirror symmetry about the bubble axis (cells mirror across center)
+    assert np.allclose(wv, wv[:, ::-1], atol=1e-10)
