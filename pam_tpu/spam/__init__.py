@@ -3,3 +3,4 @@ from .thermo import (ThermoConstants, IdealGasPottemp,
                      ConstantKappaVirtualPottemp)
 from .varset import VariableSet
 from .tendencies import SpamTendencies
+from .dycore import SpamDycore

@@ -1,0 +1,155 @@
+"""SPAM dycore ↔ coupler bridge ("PAM-C").
+
+Parity reference: dynamics/spam/Dycore.h (init/timeStep orchestration,
+name "SPAM++", Dycore.h:327) and the coupler conversion kernels in
+dynamics/spam/src/hamiltonians/variableset.h:481-912.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.coupler import Coupler
+from .geometry import ExtrudedGeometry
+from .thermo import ConstantKappaVirtualPottemp, IdealGasPottemp
+from .varset import VariableSet
+from .tendencies import SpamTendencies
+from .operators import mirror_layer
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class SpamDycore:
+    """Coupled SPAM dycore (MCE_rho + ConstantKappa_VirtualPottemp by
+    default — the reference's coupled configuration, CI matrix
+    .github/workflows/pamc-idealized-ubuntu.yml)."""
+    coupler: Coupler
+    geom: ExtrudedGeometry
+    varset: VariableSet
+    thermo: Any
+    tend: SpamTendencies
+    geop: Any              # (nens, nz, nx) n-form of g*z
+    grav: float
+
+    name = "SPAM++"  # ref: Dycore.h:327
+
+    @staticmethod
+    def build(coupler: Coupler, zint, grav: float = 9.80616,
+              variant: str = "MCE_rho", thermo=None) -> "SpamDycore":
+        assert coupler.ny == 1, "SPAM ndims=1 (x-z) supported in this build"
+        geom = ExtrudedGeometry.build(coupler.nx, np.asarray(zint),
+                                      coupler.xlen, coupler.nens,
+                                      coupler.dtype)
+        if thermo is None:
+            thermo = (ConstantKappaVirtualPottemp() if variant == "MCE_rho"
+                      else IdealGasPottemp())
+        vs = VariableSet(variant=variant,
+                         tracer_names=tuple(coupler.tracer_names),
+                         tracer_positive=tuple(coupler.tracer_positive),
+                         geom=geom, thermo=thermo)
+        tend = SpamTendencies(geom=geom, varset=vs, thermo=thermo, grav=grav)
+        # geopotential as twisted n1-form: avg(g*z)*dx*dz per dual cell
+        zmid = geom.zmid_d  # cell average of z = midpoint (linear)
+        geop_col = grav * zmid * geom.dx * geom.dz_d
+        geop = jnp.asarray(np.repeat(geop_col[:, :, None], geom.nx, axis=2),
+                           coupler.dtype)
+        return SpamDycore(coupler=coupler, geom=geom, varset=vs,
+                          thermo=thermo, tend=tend, geop=geop, grav=grav)
+
+    # ------------------------------------------------------- conversions
+    def coupler_to_dynamics(self, state):
+        """(ref: convert_coupler_to_dynamics_densities/wind,
+        variableset.h:675-912, averaging inverse path)."""
+        g, vs, th = self.geom, self.varset, self.thermo
+        area = jnp.asarray(g.d_area_n1(), self.coupler.dtype)[:, :, None]
+        # coupler fields are (nens, nz, ny=1, nx) -> drop y
+        rho_d = state["density_dry"][:, :, 0, :]
+        temp = state["temp"][:, :, 0, :]
+        tracers = [state[n][:, :, 0, :] for n in vs.tracer_names]
+        dens_vap = tracers[vs.dens_id_vap - 2]
+        dens_liq = tracers[vs.dens_id_liq - 2] if vs.liq_found else 0.0
+        dens_ice = tracers[vs.dens_id_ice - 2] if vs.ice_found else 0.0
+        dens_tot = rho_d + dens_vap  # ref: variableset.h:724
+        qd = rho_d / dens_tot
+        qv = dens_vap / dens_tot
+        ql = dens_liq / dens_tot if vs.liq_found else 0.0
+        qi = dens_ice / dens_tot if vs.ice_found else 0.0
+        alpha = 1.0 / dens_tot
+        sv = th.compute_entropic_var_from_alpha_T(alpha, temp, qd, qv, ql, qi)
+        dens = jnp.stack([dens_tot * area, sv * dens_tot * area] +
+                         [t * area for t in tracers])
+        # winds (averaging; ref: variableset.h:874-911)
+        uvel = state["uvel"][:, :, 0, :]
+        wvel = state["wvel"][:, :, 0, :]
+        v = 0.5 * (uvel + jnp.roll(uvel, 1, axis=-1)) * g.dx
+        dzp = jnp.asarray(g.dz_p, uvel.dtype)[:, :, None]
+        w = 0.5 * (wvel[:, :-1, :] + wvel[:, 1:, :]) * dzp
+        return dens, v, w
+
+    def dynamics_to_coupler(self, state, dens, v, w):
+        """(ref: convert_dynamics_to_coupler_densities/wind,
+        variableset.h:481-654)."""
+        g, vs, th = self.geom, self.varset, self.thermo
+        area = jnp.asarray(g.d_area_n1(), dens.dtype)[:, :, None]
+        qd, qv, ql, qi = vs.moist_qs(dens)
+        sv = vs.get_entropic_var(dens)
+        alpha = vs.get_alpha(dens)
+        temp = th.compute_T_from_alpha(alpha, sv, qd, qv, ql, qi)
+        rho_d = vs.get_dry_density(dens) / area
+        out = dict(state)
+        out["density_dry"] = rho_d[:, :, None, :]
+        out["temp"] = temp[:, :, None, :]
+        for idx, name in enumerate(vs.tracer_names):
+            out[name] = (dens[2 + idx] / area)[:, :, None, :]
+        # winds back to cell centers (ref: variableset.h:594-652)
+        u_edge = v / g.dx
+        uvel = 0.5 * (u_edge + jnp.roll(u_edge, -1, axis=-1))
+        dzp = jnp.asarray(g.dz_p, dens.dtype)[:, :, None]
+        w_phys = w / dzp                      # (nens, nz-1, nx)
+        # wvel at dual layer k: interface-weighted interp (ref :607-633)
+        e = dzp
+        w_pad = mirror_layer(w_phys, 1)       # w_pad[k] = w_phys[k-1]
+        e_pad = jnp.concatenate([e[:, :1], e, e[:, -1:]], axis=1)
+        wd = w_pad[:, :-1, :]                 # w below layer k
+        wu = w_pad[:, 1:, :]                  # w above layer k
+        e_d = e_pad[:, :-1]
+        e_u = e_pad[:, 1:]
+        w_mid = wd + (wu - wd) * e_d / (e_u + e_d)
+        nz = g.nz
+        w_mid = w_mid.at[:, 0, :].set(w_phys[:, 0, :])
+        w_mid = w_mid.at[:, nz - 1, :].set(w_phys[:, -1, :])
+        out["wvel"] = w_mid[:, :, None, :]
+        out["uvel"] = uvel[:, :, None, :]
+        out["vvel"] = jnp.zeros_like(out["uvel"])
+        return out
+
+    # ------------------------------------------------------- time stepping
+    def compute_dt_dyn(self, cfl: float = 0.5):
+        """Static acoustic-CFL estimate for SSPRK substepping (analog of
+        Dycore.h:248-266 CFL-adaptive substepping, conservative cs)."""
+        cs = 350.0
+        dz = float(np.min(self.geom.dz_d))
+        return cfl * min(self.geom.dx, dz) / cs
+
+    def timestep(self, state, dt_phys, n_substeps: int = None):
+        """Advance coupler state by dt_phys using n_substeps SSPRK3 steps
+        (ref: Dycore::timeStep, spam/Dycore.h:248-318)."""
+        if n_substeps is None:
+            n_substeps = max(1, int(np.ceil(dt_phys / self.compute_dt_dyn())))
+        dtcrm = dt_phys / n_substeps
+        dens, v, w = self.coupler_to_dynamics(state)
+
+        def body(carry, _):
+            d_, v_, w_ = carry
+            return self.tend.ssprk3_step(d_, v_, w_, self.geop, dtcrm), None
+
+        (dens, v, w), _ = jax.lax.scan(body, (dens, v, w), None,
+                                       length=n_substeps)
+        # clip negative positive-definite densities (ref: Dycore.h:2506-2527)
+        pos = jnp.asarray(self.varset.dens_pos)[:, None, None, None]
+        dens = jnp.where(pos, jnp.maximum(dens, 0.0), dens)
+        return self.dynamics_to_coupler(state, dens, v, w)

@@ -312,3 +312,27 @@ class SpamTendencies:
         v3 = (1. / 3.) * v + (2. / 3.) * v2 - (2. / 3.) * dt * Fv
         w3 = (1. / 3.) * w + (2. / 3.) * w2 - (2. / 3.) * dt * Fw
         return d3, v3, w3
+
+    def statistics(self, dens, v, w, geop):
+        """Conservation statistics per ensemble member (ref:
+        ModelStats::compute, extrudedmodel.h:4599-4860; MPI_Ireduce becomes
+        a plain jnp reduction): density sums/min/max, energies, total PV and
+        potential enstrophy."""
+        E, KE, PE, IE = self.energy(dens, v, w, geop)
+        densstat = jnp.sum(dens, axis=(-2, -1))            # (ndens, nens)
+        densmin = jnp.min(dens, axis=(-2, -1))
+        densmax = jnp.max(dens, axis=(-2, -1))
+        rho_n = self.varset.get_total_density(dens)
+        hv = op.R_avg(rho_n)
+        w_pad = mirror_layer(w, 1)
+        zeta = op.D1_ext(v, w_pad)
+        nz1 = zeta.shape[AXZ]
+        k = jnp.arange(nz1)
+        interior = ((k > 0) & (k < nz1 - 1))[None, :, None]
+        pv = jnp.sum(jnp.where(interior, zeta, 0.0), axis=(-2, -1))
+        pens = jnp.sum(jnp.where(interior,
+                                 0.5 * zeta * zeta /
+                                 jnp.where(hv == 0, 1.0, hv), 0.0),
+                       axis=(-2, -1))
+        return dict(densstat=densstat, densmin=densmin, densmax=densmax,
+                    E=E, KE=KE, PE=PE, IE=IE, PV=pv, PENS=pens)

@@ -112,3 +112,42 @@ def test_rising_bubble_x_symmetry():
     wv = np.asarray(w)[0]
     # mirror symmetry about the bubble axis (cells mirror across center)
     assert np.allclose(wv, wv[:, ::-1], atol=1e-10)
+
+
+def test_spam_coupled_dycore_roundtrip_and_step():
+    """Coupler conversions invert each other; a coupled MMF-style step on the
+    supercell column stays stable (analog of the reference coupled config:
+    MCE_rho + ConstantKappa_VirtualPottemp)."""
+    from pam_tpu.core import Coupler
+    from pam_tpu.spam import SpamDycore
+    from pam_tpu.driver.supercell_column import initialize_from_supercell_column
+    from pam_tpu.modules.broadcast import broadcast_initial_gcm_column
+    from pam_tpu.physics import kessler
+
+    nx, nz = 16, 20
+    cpl = Coupler(nz=nz, ny=1, nx=nx, nens=1, xlen=32000.0, ylen=64000.0,
+                  dtype=jnp.float64)
+    cpl = kessler.register(cpl)
+    zint = np.linspace(0.0, 20000.0, nz + 1)
+    state = cpl.allocate_state(zint)
+    state = initialize_from_supercell_column(cpl, state, zint)
+    state = broadcast_initial_gcm_column(cpl, state)
+    dyc = SpamDycore.build(cpl, zint)
+
+    dens, v, w = dyc.coupler_to_dynamics(state)
+    state2 = dyc.dynamics_to_coupler(state, dens, v, w)
+    for k in ("density_dry", "temp", "water_vapor"):
+        assert np.allclose(np.asarray(state[k]), np.asarray(state2[k]),
+                           rtol=1e-10), k
+    # winds: cell-center -> edge -> cell-center averaging is not exact, but
+    # for the supercell shear profile it should be close
+    assert np.allclose(np.asarray(state["uvel"]), np.asarray(state2["uvel"]),
+                       atol=0.8)
+
+    out = jax.jit(lambda s: dyc.timestep(s, 5.0, n_substeps=5))(state)
+    for k in ("density_dry", "temp", "uvel", "wvel", "water_vapor"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    t = np.asarray(out["temp"])
+    assert t.min() > 150.0 and t.max() < 350.0
+    # column stays near hydrostatic: no violent vertical motion in 5 s
+    assert float(jnp.max(jnp.abs(out["wvel"]))) < 5.0
