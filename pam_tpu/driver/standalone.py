@@ -1,0 +1,149 @@
+"""Standalone driver: YAML-configured runs mirroring the mmf_simplified
+executable.
+
+Parity reference: standalone/mmf_simplified/driver.cpp — config keys
+(sim_time, crm_nx/ny/nz, nens, xlen/ylen/zlen, vcoords, dt_gcm,
+dt_crm_phys, out_freq, out_prefix, idealized, init_data, ...) are the same
+names the reference YAML inputs use (inputs/input_pamc.yaml,
+inputs/pamc_idealized/*.yaml).
+
+Run:  python -m pam_tpu.driver.standalone <config.yaml>
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import yaml
+
+
+def load_config(path: str) -> dict:
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    return cfg
+
+
+def build_zint(cfg) -> np.ndarray:
+    """Vertical interface heights: uniform (driver.cpp:137-155 half-cell
+    convention) or from a NetCDF vcoords file."""
+    vcoords = cfg.get("vcoords", "uniform")
+    if vcoords == "uniform":
+        crm_nz = cfg["crm_nz"]
+        zlen = cfg.get("zlen", 20000.0)
+        dz = zlen / (crm_nz - 1)
+        zint = np.empty(crm_nz + 1)
+        zint[0] = 0.0
+        zint[-1] = zlen
+        zint[1:-1] = np.arange(1, crm_nz) * dz - dz / 2
+        return zint
+    from scipy.io import netcdf_file
+    with netcdf_file(vcoords, "r") as f:
+        return np.array(f.variables["vertical_interfaces"][:])
+
+
+def run_mmf(cfg: dict, verbose: bool = True):
+    """MMF (supercell-column, GCM-forced) run — the non-idealized branch of
+    driver.cpp:221-272."""
+    import jax.numpy as jnp
+    from .mmf import setup_supercell_mmf
+    from ..io.output import NetCDFWriter
+
+    zint = build_zint(cfg)
+    nz = len(zint) - 1
+    drv, state = setup_supercell_mmf(
+        nx=cfg["crm_nx"], ny=cfg.get("crm_ny", 1), nz=nz,
+        nens=cfg.get("nens", 1), xlen=cfg["xlen"],
+        ylen=cfg.get("ylen", 64000.0),
+        zlen=float(zint[-1]),
+        micro=cfg.get("micro", "kessler"),
+        dt_gcm=cfg.get("dt_gcm", cfg["sim_time"]),
+        dt_crm_phys=cfg["dt_crm_phys"],
+        dtype=jnp.float64 if cfg.get("f64", True) else jnp.float32)
+    # override vertical grid with the file-provided one
+    out_freq = cfg.get("out_freq", -1.0)
+    writer = None
+    if out_freq >= 0:
+        writer = NetCDFWriter(drv.coupler, state, cfg.get("out_prefix", "out"))
+        writer.write(state, 0.0)
+
+    t0 = time.time()
+    nout = [0]
+
+    def cb(s, etime):
+        if writer is not None and etime / out_freq >= nout[0] + 1:
+            writer.write(s, etime)
+            nout[0] += 1
+        if verbose:
+            import jax.numpy as jnp
+            maxw = float(jnp.max(jnp.abs(s["wvel"])))
+            print(f"Etime , dtphys, maxw: {etime} , "
+                  f"{drv.dt_crm_phys} , {maxw:10.5f}", flush=True)
+
+    state = drv.run(state, cfg["sim_time"], cb)
+    if verbose:
+        print(f"Simulation Time: {cfg['sim_time']}")
+        print(f"Run Time: {time.time() - t0}")
+    if writer is not None:
+        writer.close()
+    return state
+
+
+def run_idealized(cfg: dict, verbose: bool = True):
+    """Idealized SPAM runs (risingbubble, densitycurrent) — the idealized
+    branch with init_data dispatch (extrudedmodel.h testcase_from_string)."""
+    import jax
+    import jax.numpy as jnp
+    from ..spam import (ExtrudedGeometry, IdealGasPottemp, VariableSet,
+                        SpamTendencies)
+    from ..spam import testcases as tcs
+
+    name = cfg["init_data"]
+    tc = {"risingbubble": tcs.RisingBubble(),
+          "densitycurrent": tcs.DensityCurrent()}[name]
+    nx = cfg["crm_nx"]
+    nz = cfg["crm_nz"]
+    nens = cfg.get("nens", 1)
+    geom = ExtrudedGeometry.build(nx, np.linspace(0.0, tc.Lz, nz + 1),
+                                  tc.Lx, nens, jnp.float64)
+    thermo = IdealGasPottemp()
+    vs = VariableSet(variant="CE", geom=geom, thermo=thermo)
+    tend = SpamTendencies(geom=geom, varset=vs, thermo=thermo, grav=tc.g)
+    dens, v, w, geop = tcs.setup_testcase(tc, geom, thermo)
+
+    dt = cfg.get("dtcrm", 0.3 * min(geom.dx, float(geom.dz_d.min())) / 350.0)
+    nsteps = int(np.ceil(cfg["sim_time"] / dt))
+    step = jax.jit(lambda d, vv, ww: tend.ssprk3_step(d, vv, ww, geop, dt))
+    stat_freq = cfg.get("stat_freq", cfg["sim_time"] / 10)
+    stats_every = max(1, int(stat_freq / dt))
+    t0 = time.time()
+    for n in range(nsteps):
+        dens, v, w = step(dens, v, w)
+        if verbose and (n + 1) % stats_every == 0:
+            st = tend.statistics(dens, v, w, geop)
+            print(f"step {n+1} t={dt*(n+1):9.2f}s  E={float(st['E'][0]):.8e} "
+                  f"mass={float(st['densstat'][0, 0]):.8e}", flush=True)
+    if verbose:
+        print(f"Run Time: {time.time() - t0}")
+    return dens, v, w
+
+
+def main(argv=None):
+    argv = argv or sys.argv[1:]
+    if not argv:
+        print("usage: python -m pam_tpu.driver.standalone <config.yaml>")
+        return 1
+    cfg = load_config(argv[0])
+    if cfg.get("f64", True):
+        import jax
+        jax.config.update("jax_enable_x64", True)
+    if cfg.get("idealized", False):
+        run_idealized(cfg)
+    else:
+        run_mmf(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

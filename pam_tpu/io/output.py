@@ -1,0 +1,71 @@
+"""NetCDF output of the coupler state.
+
+Parity reference: standalone/mmf_simplified/output.h — per-run NetCDF file
+with x/y/z coordinate variables and every coupler field appended along an
+unlimited time dimension. Uses scipy's NetCDF-3 writer (no netCDF4 in the
+image); the reference's MPI token-passing rank serialization is unnecessary
+(single process, ensemble axis instead of ranks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.io import netcdf_file
+
+from ..core.coupler import Coupler
+
+
+class NetCDFWriter:
+    """Appends coupler-state snapshots to ``<prefix>.nc``."""
+
+    def __init__(self, coupler: Coupler, state, prefix: str):
+        self.coupler = coupler
+        self.fname = f"{prefix}.nc"
+        self.num_out = 0
+        self._create(state)
+
+    def _create(self, state):
+        c = self.coupler
+        f = netcdf_file(self.fname, "w")
+        f.createDimension("t", None)
+        f.createDimension("x", c.nx)
+        f.createDimension("xp1", c.nx + 1)
+        f.createDimension("y", c.ny)
+        f.createDimension("yp1", c.ny + 1)
+        f.createDimension("z", c.nz)
+        f.createDimension("zp1", c.nz + 1)
+        f.createDimension("nens", c.nens)
+        xv = f.createVariable("x", "d", ("x",))
+        xv[:] = (np.arange(c.nx) + 0.5) * c.dx
+        yv = f.createVariable("y", "d", ("y",))
+        yv[:] = (np.arange(c.ny) + 0.5) * c.dy
+        zv = f.createVariable("z", "d", ("z", "nens"))
+        zv[:] = np.asarray(state["vertical_midpoint_height"]).T
+        zi = f.createVariable("zint", "d", ("zp1", "nens"))
+        zi[:] = np.asarray(state["vertical_interface_height"]).T
+        f.createVariable("t", "d", ("t",))
+        self._vars = {}
+        for name, arr in state.items():
+            a = np.asarray(arr)
+            if a.shape == (c.nens, c.nz, c.ny, c.nx):
+                self._vars[name] = f.createVariable(
+                    name, "d", ("t", "nens", "z", "y", "x"))
+            elif a.shape == (c.nens, c.ny, c.nx):
+                self._vars[name] = f.createVariable(
+                    name, "d", ("t", "nens", "y", "x"))
+            elif a.shape == (c.nens, c.nz):
+                self._vars[name] = f.createVariable(
+                    name, "d", ("t", "nens", "z"))
+        self.f = f
+
+    def write(self, state, etime: float):
+        i = self.num_out
+        self.f.variables["t"][i] = etime
+        for name, var in self._vars.items():
+            if name in state:
+                var[i] = np.asarray(state[name])
+        self.num_out += 1
+        self.f.sync()
+
+    def close(self):
+        self.f.close()
