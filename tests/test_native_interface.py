@@ -1,0 +1,94 @@
+"""Native pam_interface (C++/ctypes) tests: zero-copy mirroring, options,
+dirty tracking and validators (analog of standalone/mmf_simplified/
+fortran_test.F90 exercised through the same C ABI)."""
+
+import numpy as np
+import pytest
+
+from pam_tpu.interface import HostDataManager
+
+
+@pytest.fixture()
+def dm():
+    d = HostDataManager()
+    d.finalize()
+    yield d
+    d.finalize()
+
+
+def test_mirror_zero_copy_roundtrip(dm):
+    gcm = np.arange(24, dtype=np.float64).reshape(2, 3, 4)
+    dm.mirror_array("state", gcm, "GCM state", readonly=False)
+    view = dm.get("state")
+    assert view.shape == (2, 3, 4)
+    assert np.shares_memory(view, view)  # it is a view into the registry
+    # mutate through the view; the GCM-owned array must see it (zero copy)
+    view[1, 2, 3] = 99.0
+    assert gcm[1, 2, 3] == 99.0
+    # and vice versa
+    gcm[0, 0, 0] = -5.0
+    assert dm.get("state")[0, 0, 0] == -5.0
+
+
+def test_readonly_flag(dm):
+    gcm = np.ones(5)
+    dm.mirror_array("ro", gcm, readonly=True)
+    v = dm.get("ro")
+    assert not v.flags.writeable
+
+
+def test_register_allocate_and_dims(dm):
+    dm.register_and_allocate("work", (4, 5), np.float64)
+    a = dm.get("work")
+    assert a.shape == (4, 5)
+    assert (a == 0).all()
+    assert dm.exists("work")
+    dm.unregister("work")
+    assert not dm.exists("work")
+    dm.register_dimension("z", 50)
+    assert dm.get_dimension_size("z") == 50
+    assert dm.get_dimension_size("nope") == -1
+
+
+def test_options(dm):
+    dm.set_option("crm_dt", 20.0)
+    dm.set_option("nens", 4)
+    dm.set_option("micro", "p3")
+    dm.set_option("adv", True)
+    assert dm.get_option_float("crm_dt") == 20.0
+    assert dm.get_option_int("nens") == 4
+    assert dm.get_option_str("micro") == "p3"
+    assert dm.get_option_bool("adv") is True
+    assert dm.option_is_set("crm_dt")
+    dm.remove_option("crm_dt")
+    assert not dm.option_is_set("crm_dt")
+
+
+def test_validators_and_dirty(dm):
+    a = np.array([1.0, -2.0, np.nan, np.inf])
+    dm.mirror_array("v", a, readonly=False)
+    assert dm.validate("v", nan=True, inf=False, pos=False) == 1
+    assert dm.validate("v", nan=True, inf=True, pos=False) == 2
+    assert dm.validate("v", nan=True, inf=True, pos=True) == 3
+    dm.clean_all_entries()
+    assert not dm.entry_dirty("v")
+    _ = dm.get("v")
+    assert dm.entry_dirty("v")
+
+
+def test_fortran_bindings_generate():
+    """The generated Fortran module references exactly the exported C
+    symbols (no gfortran in the image; symbol-level check instead)."""
+    import subprocess, re, os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(root, "native", "generate_fortran_interface.py")
+    code = subprocess.run(["python3", src], capture_output=True, text=True,
+                          check=True).stdout
+    assert "module pam_fortran_interface" in code
+    bound = set(re.findall(r"bind\(C, name='([a-z_0-9]+)'\)", code))
+    so = os.path.join(root, "native", "libpam_interface.so")
+    syms = subprocess.run(["nm", "-D", so], capture_output=True,
+                          text=True).stdout
+    exported = set(re.findall(r" T (pam_interface_\w+)", syms))
+    missing = bound - exported
+    assert not missing, missing
