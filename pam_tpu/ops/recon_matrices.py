@@ -135,13 +135,16 @@ def weno_lower_sten_to_coefs(locs_or_ord) -> np.ndarray:
 
 
 @functools.cache
-def tv_quadform(ord: int) -> np.ndarray:
+def tv_quadform(ord: int, truncate: bool = True) -> np.ndarray:
     """(ord, ord) symmetric matrix: beta(a) = a @ M @ a is the Jiang-Shu
     smoothness indicator sum_{n>=1} int_{-1/2}^{1/2} (p^(n))^2 dx.
 
-    Product terms whose monomial power exceeds ``ord`` are dropped, matching
-    the reference's generated formulas exactly (e.g. coefs_to_tv(5) omits the
-    x^6 term of (p')^2; verified against TransformMatrices.h orders 3/5/7).
+    With ``truncate`` (default), product terms whose monomial power exceeds
+    ``ord`` are dropped, matching the dycore's generated formulas exactly
+    (e.g. coefs_to_tv(5) omits the x^6 term of (p')^2; verified against
+    TransformMatrices.h orders 3/5/7). ``truncate=False`` gives the full
+    form used by the coupler's vertical interpolation
+    (pam_core/vertical_interp.h TV()).
     """
     M = np.zeros((ord, ord))
     for n in range(1, ord):
@@ -151,7 +154,7 @@ def tv_quadform(ord: int) -> np.ndarray:
             for s2 in range(n, ord):
                 c2 = math.factorial(s2) / math.factorial(s2 - n)
                 p = s1 + s2 - 2 * n  # power of the product
-                if p > ord:
+                if truncate and p > ord:
                     continue  # reference truncation of high-power terms
                 # integral of x^p over [-1/2, 1/2]
                 integ = 0.0 if p % 2 == 1 else (0.5**p) / (p + 1)

@@ -189,3 +189,32 @@ def test_kessler_condensation_and_conservation():
                             s["precip_liquid"]) / s["density_dry"]))
     assert water1 <= water0 * (1 + 1e-4)
     assert water1 > 0.5 * water0
+
+
+def test_vertical_interp_cells_to_edges():
+    """WENO cells->edges: exact for smooth quadratics on stretched grids,
+    respects BC_ZERO_VALUE (ref: pam_core/vertical_interp.h)."""
+    from pam_tpu.core import vinterp
+    rng = np.random.default_rng(0)
+    nz = 24
+    zint = np.concatenate([[0.0], np.cumsum(50.0 + 40.0 * rng.random(nz))])
+    zmid = 0.5 * (zint[:-1] + zint[1:])
+    dz = np.diff(zint)
+    # cell averages of a quadratic: avg = (z_t^3 - z_b^3)/(3 dz) for f=z^2
+    f_avg = (zint[1:] ** 3 - zint[:-1] ** 3) / (3 * dz)
+    data = jnp.asarray(f_avg)[None, :]
+    edges = vinterp.cells_to_edges(data, zint)
+    exact = zint ** 2
+    # interior edges (with ghost-free stencils) exact for quadratics
+    err = np.abs(np.asarray(edges)[0, 3:-3] - exact[3:-3]) / exact[3:-3]
+    assert err.max() < 1e-10, err.max()
+    # smooth sine: convergence sanity at moderate tolerance
+    edges2 = vinterp.cells_to_edges(
+        jnp.asarray(np.sin(zmid / 200.0))[None, :], zint)
+    assert np.abs(np.asarray(edges2)[0, 5:-5] -
+                  np.sin(zint[5:-5] / 200.0)).max() < 2e-3
+    # BC_ZERO_VALUE forces zero boundary values
+    edges3 = vinterp.cells_to_edges(data, zint,
+                                    bc_lower=vinterp.BC_ZERO_VALUE,
+                                    bc_upper=vinterp.BC_ZERO_VALUE)
+    assert float(edges3[0, 0]) == 0.0 and float(edges3[0, -1]) == 0.0
