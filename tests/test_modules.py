@@ -208,11 +208,12 @@ def test_vertical_interp_cells_to_edges():
     # interior edges (with ghost-free stencils) exact for quadratics
     err = np.abs(np.asarray(edges)[0, 3:-3] - exact[3:-3]) / exact[3:-3]
     assert err.max() < 1e-10, err.max()
-    # smooth sine: convergence sanity at moderate tolerance
-    edges2 = vinterp.cells_to_edges(
-        jnp.asarray(np.sin(zmid / 200.0))[None, :], zint)
+    # smooth sine (proper cell averages): high-order accurate interior
+    L = 200.0
+    sin_avg = (np.cos(zint[:-1] / L) - np.cos(zint[1:] / L)) * L / dz
+    edges2 = vinterp.cells_to_edges(jnp.asarray(sin_avg)[None, :], zint)
     assert np.abs(np.asarray(edges2)[0, 5:-5] -
-                  np.sin(zint[5:-5] / 200.0)).max() < 2e-3
+                  np.sin(zint[5:-5] / L)).max() < 2e-4
     # BC_ZERO_VALUE forces zero boundary values
     edges3 = vinterp.cells_to_edges(data, zint,
                                     bc_lower=vinterp.BC_ZERO_VALUE,
