@@ -112,6 +112,10 @@ def setup_supercell_mmf(nx=65, ny=1, nz=50, nens=1, xlen=128000.0,
         from ..physics.kessler import KesslerMicro, init_state
         state = init_state(cpl, state)
         micro_obj = KesslerMicro(cpl)
+    elif micro == "p3":
+        from ..physics import p3 as p3mod
+        state = p3mod.init_state(cpl, state)
+        micro_obj = p3mod.P3Micro(cpl)
 
     drv = MmfDriver(coupler=cpl, dycore=dyc, micro=micro_obj,
                     dt_gcm=dt_gcm, dt_crm_phys=dt_crm_phys)

@@ -1,0 +1,171 @@
+"""P3 microphysics coupler wrapper.
+
+Parity reference: physics/micro/p3/Microphysics.h — registers the 9 P3
+tracers (:119-127), converts coupler densities to dry mixing ratios, builds
+exner/theta/dpres_dry inputs (:344-385), runs the column scheme, and maps
+results back with the constant-volume cv/cp temperature correction
+(:676-704).
+
+Orientation note: the scheme (pam_tpu.physics.p3.main) works top-down
+(k=0 = top), so columns are flipped on the way in and out — matching the
+reference's C++ (P3_CXX) path (`k_p3 = nz-1-k`, Microphysics.h:463).
+
+State carried across calls (q_prev as a density, t_prev, Microphysics.h:
+700-703) lives in the coupler state dict; ``init_state`` seeds it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ...core.coupler import Coupler
+from ...modules.saturation import compute_adjusted_state
+from .constants import CONST
+from .main import p3_main
+
+C = CONST
+
+TRACER_NAMES = ("cloud_water", "cloud_water_num", "rain", "rain_num", "ice",
+                "ice_num", "ice_rime", "ice_rime_vol", "water_vapor")
+
+
+def register(coupler: Coupler) -> Coupler:
+    """Add P3's 9 tracers (ref: Microphysics::init, Microphysics.h:119-127).
+    Number concentrations and rime fields carry no mass (rime mass is a
+    subset of ice mass)."""
+    cpl = coupler
+    cpl = cpl.add_tracer("cloud_water", "Cloud Water Mass", True, True)
+    cpl = cpl.add_tracer("cloud_water_num", "Cloud Water Number", True, False)
+    cpl = cpl.add_tracer("rain", "Rain Water Mass", True, True)
+    cpl = cpl.add_tracer("rain_num", "Rain Water Number", True, False)
+    cpl = cpl.add_tracer("ice", "Ice Mass", True, True)
+    cpl = cpl.add_tracer("ice_num", "Ice Number", True, False)
+    cpl = cpl.add_tracer("ice_rime", "Ice-Rime Mass", True, False)
+    cpl = cpl.add_tracer("ice_rime_vol", "Ice-Rime Volume", True, False)
+    cpl = cpl.add_tracer("water_vapor", "Water Vapor", True, True)
+    return cpl.with_options(micro="p3")
+
+
+def init_state(coupler: Coupler, state):
+    """Seed persistent fields (ref: Microphysics.h:135-143 registration and
+    the first_step branch :379-381). Call AFTER water_vapor/temp are set."""
+    cpl = coupler
+    out = dict(state)
+    shape = (cpl.nens, cpl.nz, cpl.ny, cpl.nx)
+    z = lambda: jnp.zeros(shape, cpl.dtype)
+    out.setdefault("q_prev", jnp.asarray(state["water_vapor"]))
+    out.setdefault("t_prev", jnp.asarray(state["temp"]))
+    for name in ("nc_nuceat_tend", "nccn_prescribed", "ni_activated",
+                 "liq_ice_exchange_out", "vap_liq_exchange_out",
+                 "vap_ice_exchange_out"):
+        out.setdefault(name, z())
+    out.setdefault("inv_qc_relvar", jnp.ones(shape, cpl.dtype))
+    out.setdefault("precip_liq_surf_out",
+                   jnp.zeros((cpl.nens, cpl.ny, cpl.nx), cpl.dtype))
+    out.setdefault("precip_ice_surf_out",
+                   jnp.zeros((cpl.nens, cpl.ny, cpl.nx), cpl.dtype))
+    return out
+
+
+def _to_cols(a, nz):
+    """(nens, nz, ny, nx) -> (ncol, nz) with k flipped to top-down."""
+    return jnp.moveaxis(a, 1, -1).reshape(-1, nz)[:, ::-1]
+
+
+def _from_cols(a, shape):
+    nens, nz, ny, nx = shape
+    return jnp.moveaxis(a[:, ::-1].reshape(nens, ny, nx, nz), -1, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class P3Micro:
+    """Coupler-facing wrapper (analog of Microphysics::timeStep,
+    Microphysics.h:225-722)."""
+    coupler: Coupler
+    sgs_shoc: bool = False
+
+    @property
+    def name(self) -> str:
+        return "p3"
+
+    def timestep(self, state, dt):
+        cpl = self.coupler
+        nz = cpl.nz
+        shape = (cpl.nens, nz, cpl.ny, cpl.nx)
+        out = dict(state)
+
+        rho_d = state["density_dry"]
+        temp = state["temp"]
+        rho_v = state["water_vapor"]
+        rho_c = state["cloud_water"]
+
+        if not self.sgs_shoc:
+            # saturation adjustment replaces a macrophysics scheme
+            # (Microphysics.h:344-348)
+            rho_v, rho_c, temp = compute_adjusted_state(
+                rho_d + rho_v, rho_d, rho_v, rho_c, temp,
+                C.rv, C.cp, 1859.0, C.cpw)
+
+        # dry mixing ratios + thermodynamic inputs (Microphysics.h:349-374)
+        q = {}
+        dens = {"qc": rho_c, "qv": rho_v}
+        for key, name in (("nc", "cloud_water_num"), ("qr", "rain"),
+                          ("nr", "rain_num"), ("qi", "ice"),
+                          ("ni", "ice_num"), ("qm", "ice_rime"),
+                          ("bm", "ice_rime_vol")):
+            dens[key] = state[name]
+        for key, rho_x in dens.items():
+            q[key] = _to_cols(rho_x / rho_d, nz)
+
+        pressure = C.rd * rho_d * temp + C.rv * rho_v * temp
+        exner = (pressure / 1.0e5) ** (C.rd / C.cp)
+        inv_exner = 1.0 / exner
+        theta = temp * inv_exner
+        zint = state["vertical_interface_height"]      # (nens, nz+1)
+        dz = (zint[:, 1:] - zint[:, :-1])[:, :, None, None] * \
+            jnp.ones(shape, cpl.dtype)
+        pres_dry = C.rd * rho_d * temp
+        dpres_dry = rho_d * C.g * dz
+
+        # q_prev carried as a density -> mixing ratio (Microphysics.h:382-384)
+        q_prev = _to_cols(state["q_prev"] / rho_d, nz)
+        t_prev = _to_cols(state["t_prev"], nz)
+        ones = jnp.ones_like(q["qc"])
+
+        st, diag = p3_main(
+            qc=q["qc"], nc=q["nc"], qr=q["qr"], nr=q["nr"], qv=q["qv"],
+            th=_to_cols(theta, nz), qi=q["qi"], qm=q["qm"], ni=q["ni"],
+            bm=q["bm"], pres=_to_cols(pres_dry, nz), dz=_to_cols(dz, nz),
+            nc_nuceat_tend=_to_cols(state["nc_nuceat_tend"], nz),
+            ni_activated=_to_cols(state["ni_activated"], nz),
+            inv_qc_relvar=_to_cols(state["inv_qc_relvar"], nz), dt=dt,
+            dpres=_to_cols(dpres_dry, nz), inv_exner=_to_cols(inv_exner, nz),
+            qv_prev=q_prev, t_prev=t_prev, cld_frac_i=ones, cld_frac_l=ones,
+            cld_frac_r=ones,
+            nccn_prescribed=_to_cols(state["nccn_prescribed"], nz))
+
+        # post-process (Microphysics.h:676-704)
+        back = lambda key: _from_cols(st[key], shape)
+        for key, name in (("qc", "cloud_water"), ("nc", "cloud_water_num"),
+                          ("qr", "rain"), ("nr", "rain_num"), ("qi", "ice"),
+                          ("ni", "ice_num"), ("qm", "ice_rime"),
+                          ("bm", "ice_rime_vol"), ("qv", "water_vapor")):
+            out[name] = jnp.maximum(back(key) * rho_d, 0.0)
+        # constant-volume correction: scale dT by cv/cp (Microphysics.h:
+        # 692-698); theta defined wrt the pre-micro exner
+        temp_new = _from_cols(st["th"], shape) * exner
+        out["temp"] = temp + (temp_new - temp) * (C.cp - C.rd) / C.cp
+        out["q_prev"] = out["water_vapor"]
+        out["t_prev"] = out["temp"]
+        out["liq_ice_exchange_out"] = _from_cols(diag["liq_ice_exchange"],
+                                                 shape)
+        out["vap_liq_exchange_out"] = _from_cols(diag["vap_liq_exchange"],
+                                                 shape)
+        out["vap_ice_exchange_out"] = _from_cols(diag["vap_ice_exchange"],
+                                                 shape)
+        prec_shape = (cpl.nens, cpl.ny, cpl.nx)
+        out["precip_liq_surf_out"] = st["precip_liq_surf"].reshape(prec_shape)
+        out["precip_ice_surf_out"] = st["precip_ice_surf"].reshape(prec_shape)
+        return out
