@@ -81,8 +81,9 @@ class MmfDriver:
 
 def setup_supercell_mmf(nx=65, ny=1, nz=50, nens=1, xlen=128000.0,
                         ylen=64000.0, zlen=20000.0, dtype=jnp.float64,
-                        micro="kessler", dt_gcm=900.0, dt_crm_phys=20.0,
-                        perturb_seeds=None, dycore_kwargs=None):
+                        micro="kessler", sgs="none", dt_gcm=900.0,
+                        dt_crm_phys=20.0, perturb_seeds=None,
+                        dycore_kwargs=None):
     """Build the full MMF configuration mirroring inputs/input_pamc.yaml
     (65x1x50 cells, 128 km x 64 km, 20 km top) with supercell column init.
     Returns (driver, state)."""
@@ -96,6 +97,11 @@ def setup_supercell_mmf(nx=65, ny=1, nz=50, nens=1, xlen=128000.0,
         cpl = p3mod.register(cpl)
     elif micro != "none":
         raise ValueError(f"unknown micro scheme {micro!r}")
+    if sgs == "shoc":
+        from ..physics.sgs import shoc as shoc_mod
+        cpl = shoc_mod.register(cpl)
+    elif sgs != "none":
+        raise ValueError(f"unknown sgs scheme {sgs!r}")
 
     zint = np.linspace(0.0, zlen, nz + 1)
     state = cpl.allocate_state(zint)
@@ -115,8 +121,18 @@ def setup_supercell_mmf(nx=65, ny=1, nz=50, nens=1, xlen=128000.0,
     elif micro == "p3":
         from ..physics import p3 as p3mod
         state = p3mod.init_state(cpl, state)
-        micro_obj = p3mod.P3Micro(cpl)
+        micro_obj = p3mod.P3Micro(cpl, sgs_shoc=(sgs == "shoc"))
 
-    drv = MmfDriver(coupler=cpl, dycore=dyc, micro=micro_obj,
+    sgs_obj = None
+    if sgs == "shoc":
+        from ..physics.sgs import shoc as shoc_mod
+        state = shoc_mod.init_state(cpl, state)
+        # reference pressures for the PBL depth cap (SGS.h:169-178 uses
+        # the hydrostatic ref profile); hy_pressure_cells is top-down
+        # after the flip inside the wrapper
+        pref = np.asarray(state["hy_pressure_cells"])[0, ::-1]
+        sgs_obj = shoc_mod.ShocSgs.build(cpl, pref_mid=pref)
+
+    drv = MmfDriver(coupler=cpl, dycore=dyc, micro=micro_obj, sgs=sgs_obj,
                     dt_gcm=dt_gcm, dt_crm_phys=dt_crm_phys)
     return drv, state

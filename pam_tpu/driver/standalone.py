@@ -58,6 +58,7 @@ def run_mmf(cfg: dict, verbose: bool = True):
         ylen=cfg.get("ylen", 64000.0),
         zlen=float(zint[-1]),
         micro=cfg.get("micro", "kessler"),
+        sgs=cfg.get("sgs", "none"),
         dt_gcm=cfg.get("dt_gcm", cfg["sim_time"]),
         dt_crm_phys=cfg["dt_crm_phys"],
         dtype=jnp.float64 if cfg.get("f64", True) else jnp.float32)
