@@ -102,7 +102,8 @@ def run_idealized(cfg: dict, verbose: bool = True):
 
     name = cfg["init_data"]
     tc = {"risingbubble": tcs.RisingBubble(),
-          "densitycurrent": tcs.DensityCurrent()}[name]
+          "densitycurrent": tcs.DensityCurrent(),
+          "gravitywave": tcs.GravityWave()}[name]
     nx = cfg["crm_nx"]
     nz = cfg["crm_nz"]
     nens = cfg.get("nens", 1)
@@ -113,9 +114,40 @@ def run_idealized(cfg: dict, verbose: bool = True):
     tend = SpamTendencies(geom=geom, varset=vs, thermo=thermo, grav=tc.g)
     dens, v, w, geop = tcs.setup_testcase(tc, geom, thermo)
 
-    dt = cfg.get("dtcrm", 0.3 * min(geom.dx, float(geom.dz_d.min())) / 350.0)
-    nsteps = int(np.ceil(cfg["sim_time"] / dt))
-    step = jax.jit(lambda d, vv, ww: tend.ssprk3_step(d, vv, ww, geop, dt))
+    tstype = cfg.get("tstype", "ssprk3")
+    if tstype == "si":
+        # semi-implicit: needs a testcase reference state (ref: params
+        # tstype="si", core/params.h:151 + SI_Newton.h)
+        from ..spam import si as si_mod
+        if not hasattr(tc, "refrho_f"):
+            raise ValueError(
+                f"init_data {name!r} has no reference state for tstype=si")
+        ref = si_mod.build_reference_state(
+            geom, thermo, vs, lambda z: tc.refrho_f(z, thermo),
+            lambda z: tc.refentropicdensity_f(z, thermo),
+            lambda z: np.asarray(tc.refnsq_f(z, thermo)), tc.g)
+        import dataclasses as dc
+        J = jnp.asarray
+        tend = dc.replace(
+            tend, force_refstate_hydrostatic_balance=True,
+            refdens=J(ref["dens"]), ref_rho_pi=J(ref["rho_pi"]),
+            ref_q_pi=J(ref["q_pi"]), ref_rho_di=J(ref["rho_di"]),
+            ref_q_di=J(ref["q_di"]), ref_B=J(ref["B"]))
+        dt = cfg.get("dtcrm", 10.0)
+        lin = si_mod.CompressibleVelocityLinearSystem.build(
+            geom, thermo, vs, ref, dt, grav=tc.g)
+        nsteps = int(np.ceil(cfg["sim_time"] / dt))
+        step = jax.jit(lambda d, vv, ww: si_mod.si_step(
+            tend, lin, d, vv, ww, geop, dt,
+            cfg.get("si_max_iters", 3), cfg.get("si_nquad", 2)))
+    elif tstype == "ssprk3":
+        dt = cfg.get("dtcrm",
+                     0.3 * min(geom.dx, float(geom.dz_d.min())) / 350.0)
+        nsteps = int(np.ceil(cfg["sim_time"] / dt))
+        step = jax.jit(lambda d, vv, ww: tend.ssprk3_step(d, vv, ww, geop,
+                                                          dt))
+    else:
+        raise ValueError(f"unknown tstype {tstype!r}")
     stat_freq = cfg.get("stat_freq", cfg["sim_time"] / 10)
     stats_every = max(1, int(stat_freq / dt))
     t0 = time.time()
@@ -139,7 +171,7 @@ def main(argv=None):
     if cfg.get("f64", True):
         import jax
         jax.config.update("jax_enable_x64", True)
-    if cfg.get("idealized", False):
+    if cfg.get("idealized", False) or cfg.get("mode") == "idealized":
         run_idealized(cfg)
     else:
         run_mmf(cfg)

@@ -67,8 +67,8 @@ class AwflDycore:
     grav_balance: bool = False  # ref option "balance_hydrostasis_with_gravity"
     # filled by `build`
     tables: Any = None
-    vert_s2c: Any = None   # (1, nens, nz+2, 1, 1, ord, ord)
-    vert_wrl: Any = None   # (1, nens, nz+2, 1, 1, hs, hs, hs)
+    vert_s2c: Any = None   # (ord, ord, nens, nz+2, 1, 1) — leading [c,s]
+    vert_wrl: Any = None   # (hs, hs, hs, nens, nz+2, 1, 1) — leading [i,s,c]
 
     # ------------------------------------------------------------------ setup
     @staticmethod
@@ -81,11 +81,14 @@ class AwflDycore:
         tables = weno.weno_tables(ord, dtype=coupler.dtype)
         s2c, wrl = rm.vertical_recon_matrices(dz, ord)
         hs = (ord + 1) // 2
-        vs2c = jnp.asarray(s2c, coupler.dtype)[None, :, :, None, None]
-        vwrl = jnp.asarray(wrl, coupler.dtype)[None, :, :, None, None]
-        # shapes: (1, nens, nz+2, 1, 1, ord, ord) / (1, nens, nz+2, 1, 1, hs,hs,hs)
-        assert vs2c.shape == (1, coupler.nens, coupler.nz + 2, 1, 1, ord, ord)
-        assert vwrl.shape == (1, coupler.nens, coupler.nz + 2, 1, 1, hs, hs, hs)
+        # LEADING matrix dims + trailing batch (nens, nz+2, 1, 1) so the
+        # spatial dims keep their TPU tiling (pam_tpu.ops.weno docstring)
+        vs2c = jnp.moveaxis(jnp.asarray(s2c, coupler.dtype),
+                            (2, 3), (0, 1))[..., None, None]
+        vwrl = jnp.moveaxis(jnp.asarray(wrl, coupler.dtype),
+                            (2, 3, 4), (0, 1, 2))[..., None, None]
+        assert vs2c.shape == (ord, ord, coupler.nens, coupler.nz + 2, 1, 1)
+        assert vwrl.shape == (hs, hs, hs, coupler.nens, coupler.nz + 2, 1, 1)
         return AwflDycore(coupler=coupler, ord=ord, cfl=cfl,
                           grav_balance=grav_balance, tables=tables,
                           vert_s2c=vs2c, vert_wrl=vwrl)

@@ -34,6 +34,12 @@ class SpamDycore:
     tend: SpamTendencies
     geop: Any              # (nens, nz, nx) n-form of g*z
     grav: float
+    # semi-implicit config (ref tstype="si", core/params.h:151); None ->
+    # explicit ssprk3 substepping
+    si_linsys: Any = None
+    si_dt: float = None
+    si_max_iters: int = 3
+    si_nquad: int = 2
 
     name = "SPAM++"  # ref: Dycore.h:327
 
@@ -135,17 +141,48 @@ class SpamDycore:
         dz = float(np.min(self.geom.dz_d))
         return cfl * min(self.geom.dx, dz) / cs
 
+    def with_si(self, refstate, dt_si, max_iters: int = 3, nquad: int = 2):
+        """Return a copy configured for semi-implicit stepping at fixed
+        dt_si with the given reference state (ref tstype="si" +
+        set_reference_state; timestep then takes dt_si-sized SI steps
+        regardless of the acoustic CFL)."""
+        from . import si as si_mod
+        J = jnp.asarray
+        tend = dataclasses.replace(
+            self.tend, force_refstate_hydrostatic_balance=True,
+            refdens=J(refstate["dens"]), ref_rho_pi=J(refstate["rho_pi"]),
+            ref_q_pi=J(refstate["q_pi"]), ref_rho_di=J(refstate["rho_di"]),
+            ref_q_di=J(refstate["q_di"]), ref_B=J(refstate["B"]))
+        linsys = si_mod.CompressibleVelocityLinearSystem.build(
+            self.geom, self.thermo, self.varset, refstate, dt_si,
+            grav=self.grav)
+        return dataclasses.replace(self, tend=tend, si_linsys=linsys,
+                                   si_dt=dt_si, si_max_iters=max_iters,
+                                   si_nquad=nquad)
+
     def timestep(self, state, dt_phys, n_substeps: int = None):
-        """Advance coupler state by dt_phys using n_substeps SSPRK3 steps
-        (ref: Dycore::timeStep, spam/Dycore.h:248-318)."""
-        if n_substeps is None:
-            n_substeps = max(1, int(np.ceil(dt_phys / self.compute_dt_dyn())))
-        dtcrm = dt_phys / n_substeps
+        """Advance coupler state by dt_phys: n_substeps SSPRK3 steps
+        (ref: Dycore::timeStep, spam/Dycore.h:248-318), or SI steps of
+        size si_dt when configured via with_si."""
+        if self.si_linsys is not None:
+            from . import si as si_mod
+            n_substeps = max(1, int(round(dt_phys / self.si_dt)))
+            dtcrm = dt_phys / n_substeps
+            stepper = lambda d_, v_, w_: si_mod.si_step(
+                self.tend, self.si_linsys, d_, v_, w_, self.geop, dtcrm,
+                self.si_max_iters, self.si_nquad)
+        else:
+            if n_substeps is None:
+                n_substeps = max(1, int(np.ceil(dt_phys /
+                                                self.compute_dt_dyn())))
+            dtcrm = dt_phys / n_substeps
+            stepper = lambda d_, v_, w_: self.tend.ssprk3_step(
+                d_, v_, w_, self.geop, dtcrm)
         dens, v, w = self.coupler_to_dynamics(state)
 
         def body(carry, _):
             d_, v_, w_ = carry
-            return self.tend.ssprk3_step(d_, v_, w_, self.geop, dtcrm), None
+            return stepper(d_, v_, w_), None
 
         (dens, v, w), _ = jax.lax.scan(body, (dens, v, w), None,
                                        length=n_substeps)

@@ -1,0 +1,384 @@
+"""Semi-implicit time integration for the SPAM extruded dycore.
+
+Parity reference:
+* ReferenceState + setup — hamiltonians/refstate.h:47-85 and
+  EulerTestCase::set_reference_state (models/extrudedmodel.h:5413-5540).
+* CompressibleVelocityLinearSystem — models/extrudedmodel.h:2531-3162:
+  FFT in x + per-wavenumber complex vertical tridiagonal for the implicit
+  acoustic/buoyancy system (I + dt^2/4 L).
+* SI (quasi-Newton) integrator — timesteppers/SI_Newton.h:13-150 with the
+  discrete gradient of time_integrator.h:49-90 (Gauss quadrature between
+  the old and new states); PAM-coupled defaults si_max_iters=3, si_nquad=2
+  (core/params.h:148-158).
+
+TPU-native design: the reference's yakl pocketfft calls become
+``jnp.fft.fft`` along x; the per-column scalar Thomas recurrence becomes a
+``lax.scan`` over levels batched across (ens, wavenumber); the fixed
+quasi-Newton iteration count unrolls under jit (no convergence branch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import operators as op
+from .operators import AXZ
+
+
+def gauss_01(n: int):
+    """Gauss-Legendre points/weights on [0,1] (set_ref_quad_pts_wts)."""
+    x, w = np.polynomial.legendre.leggauss(n)
+    return 0.5 * (x + 1.0), 0.5 * w
+
+
+def flat_geop(z, g):
+    """(models/extrudedmodel.h flat_geop)."""
+    return g * z
+
+
+def profile_n1form(f, geom, nquad: int = 5):
+    """Integrate a z-profile over each dual layer * dx (dual n1-form
+    profile values; geometry.h set_profile_n1form_values). -> (nens, nz)."""
+    pts, wts = gauss_01(nquad)
+    zint = geom.zint_d                     # (nens, nz+1)
+    z0, z1 = zint[:, :-1], zint[:, 1:]
+    dz = z1 - z0
+    vals = sum(w * f(z0 + p * dz) for p, w in zip(pts, wts))
+    return jnp.asarray(vals * dz * geom.dx)
+
+
+def build_reference_state(geom, thermo, varset, refrho_f,
+                          refentropicdensity_f, refnsq_f, grav):
+    """Build the SI reference-state columns (EulerTestCase::
+    set_reference_state, extrudedmodel.h:5413-5540). Returns a dict with
+    numpy/jnp arrays keyed like the reference's ReferenceState."""
+    nz = geom.nz
+    ndens = varset.ndensity
+    # dual n-form profiles
+    dens = np.zeros((ndens, geom.nens, nz))
+    dens[varset.dens_id_mass] = np.asarray(profile_n1form(refrho_f, geom))
+    dens[varset.dens_id_entr] = np.asarray(
+        profile_n1form(refentropicdensity_f, geom))
+    geop = np.asarray(profile_n1form(lambda z: flat_geop(z, grav), geom))
+
+    # rho_pi / unscaled q_pi at primal levels = Hn1bar (diagonal) of dens
+    dzd = np.asarray(geom.dz_d)            # (nens, nz)
+    dens0 = dens / (geom.dx * dzd)         # (ndens, nens, nz)
+    rho_pi = dens0[varset.dens_id_mass]
+    q_pi = dens0.copy()
+    # rho_di / q_di at dual interfaces (boundary copy + interior average)
+    def to_di(a):
+        mid = 0.5 * (a[..., 1:] + a[..., :-1])
+        return np.concatenate([a[..., :1], mid, a[..., -1:]], axis=-1)
+    rho_di = to_di(rho_pi)
+    q_di = to_di(q_pi)
+    q_pi = q_pi / rho_pi
+    q_di = q_di / rho_di
+    # Nsq at primal levels (pointwise)
+    Nsq_pi = np.asarray(refnsq_f(np.asarray(geom.zint_p)))
+    if Nsq_pi.shape != rho_pi.shape:
+        Nsq_pi = np.broadcast_to(Nsq_pi, rho_pi.shape).copy()
+    # ref B (fac=-1; compressible_euler.h compute_dHsdx:77-112)
+    geop0 = geop / (geom.dx * dzd)
+    alpha = 1.0 / rho_pi
+    sv = q_pi[varset.dens_id_entr]
+    U = np.asarray(thermo.compute_U(alpha, sv))
+    p = -np.asarray(thermo.compute_dUdalpha(alpha, sv))
+    gexner = np.asarray(thermo.compute_dUdentropic_var(alpha, sv))
+    B = np.zeros((varset.ndensity_active, geom.nens, nz))
+    B[varset.dens_id_mass] = -(geop0 + U + p * alpha - sv * gexner)
+    B[varset.dens_id_entr] = -gexner
+    return dict(dens=dens, geop=geop, rho_pi=rho_pi, q_pi=q_pi,
+                rho_di=rho_di, q_di=q_di, Nsq_pi=Nsq_pi, B=B)
+
+
+# ---------------------------------------------------------------------------
+# Compressible velocity linear system
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class CompressibleVelocityLinearSystem:
+    """(I + dt^2/4 L)^-1 for the linearized compressible system
+    (extrudedmodel.h:2531-3162). Coefficients are precomputed in numpy for
+    a fixed dt; solve() is jittable."""
+    geom: Any
+    varset: Any
+    dt: float
+    # precomputed (complex128 numpy promoted to jnp on use)
+    Blin: np.ndarray          # (2, 2, nens, ni_p)
+    vcoeff0: np.ndarray       # (nens, ni_p, nx) complex
+    vcoeff_d: np.ndarray      # (2, nens, ni_p, nx) complex
+    tri_l: np.ndarray         # (nens, nl_p, nx) complex
+    tri_d: np.ndarray
+    tri_u: np.ndarray
+    a_kp1: np.ndarray         # (nens, nl_p, nx) complex  (w-rhs coupling)
+    a_k: np.ndarray
+    g_up: np.ndarray          # (nens, ni_p, nx) complex  (vhat recovery)
+    g_dn: np.ndarray
+    q_pi: np.ndarray          # (ndens, nens, ni_p)
+    q_di: np.ndarray          # (ndens, nens, ni_d)
+    rho_pi: np.ndarray
+    rho_di: np.ndarray
+
+    @staticmethod
+    def build(geom, thermo, varset, refstate, dt, grav=9.80616):
+        """compute_coefficients (extrudedmodel.h:2605-2844)."""
+        nz, nx, nens = geom.nz, geom.nx, geom.nens
+        ni, nl = nz, nz - 1                 # primal levels / layers
+        dtf2 = dt * dt / 4.0
+
+        rho_pi = refstate["rho_pi"]         # (nens, ni)
+        q_pi = refstate["q_pi"][:2]         # dycore densities only
+        rho_di = refstate["rho_di"]
+        q_di = refstate["q_di"][:2]
+        Nsq = refstate["Nsq_pi"]
+
+        # Blin_coeff (:2643-2696)
+        alpha = 1.0 / rho_pi
+        s_ref = q_pi[1]
+        dpds = np.asarray(thermo.compute_dpdentropic_var(alpha, s_ref))
+        cref = np.asarray(thermo.compute_soundspeed(alpha, s_ref))
+        cref2 = cref ** 2
+        g2 = grav * grav
+        rho2 = rho_pi ** 2
+        dpds2 = dpds ** 2
+        b0_s = dpds / rho_pi - dpds2 * s_ref / (cref2 * rho2) - \
+            dpds2 * g2 * s_ref / (Nsq * cref2 * cref2 * rho2)
+        b0_rho = (cref2 * rho_pi - dpds * s_ref) / rho2 - \
+            s_ref / rho_pi * b0_s
+        b0_S = b0_s / rho_pi
+        b1_s = dpds2 * (Nsq * cref2 + g2) / (Nsq * cref2 * cref2 * rho2)
+        b1_rho = dpds / rho2 - s_ref / rho_pi * b1_s
+        b1_S = b1_s / rho_pi
+        Blin = np.stack([np.stack([b0_rho, b0_S]),
+                         np.stack([b1_rho, b1_S])])   # (2,2,nens,ni)
+
+        # fourier symbols (ext_deriv.h:929-979), m over full fft bins
+        th = 2.0 * np.pi * np.arange(nx) / nx
+        fD0 = 1.0 - np.exp(-1j * th)                   # (nx,)
+        fDnm1bar = np.exp(1j * th) - 1.0
+        fD0Dnm1bar = 2.0 * (np.cos(th) - 1.0)
+
+        dzd = np.asarray(geom.dz_d)                    # (nens, nz)
+        dzp = np.asarray(geom.dz_p)                    # (nens, nz-1)
+        fH2bar = 1.0 / (geom.dx * dzd)                 # (nens, ni)
+        fH1h = dzd / geom.dx                           # (nens, ni)
+        # H01 diagonal at dual interfaces k=1..nz-1; boundaries unused -> 0
+        H01d = np.zeros((nens, nz + 1))
+        H01d[:, 1:nz] = geom.dx / dzp
+        gamma_fac = rho_di * H01d                      # (nens, ni_d)
+
+        # vcoeff (:2698-2740)
+        he = rho_pi
+        qBq = np.einsum('aek,abek,bek->ek', q_pi, Blin, q_pi)  # (nens, ni)
+        c1 = 1.0 - dtf2 * (fH2bar * fH1h * he * qBq)[:, :, None] * \
+            fD0Dnm1bar[None, None, :]                  # (nens, ni, nx)
+        vcoeff0 = 1.0 / c1
+        # vcoeff_{1+d1} = fD0 * dtf2 * fH2bar * sum_d2 q_pi(d2) Blin(d2,d1) / c1
+        qB = np.einsum('bek,baek->aek', q_pi, Blin)    # (2, nens, ni)
+        vcoeff_d = (dtf2 * (fH2bar[None] * qB)[:, :, :, None] *
+                    fD0[None, None, None, :]) / c1[None]
+
+        # vertical tridiagonal (:2742-2786), k = 0..nl-1
+        k = np.arange(nl)
+        tri_u = np.zeros((nens, nl, nx), np.complex128)
+        tri_d = np.ones((nens, nl, nx), np.complex128)
+        tri_l = np.zeros((nens, nl, nx), np.complex128)
+        # sum over d1, d2 of alpha*beta*gamma products (x-independent part)
+        A_kp1 = q_di[:, :, k + 1]                      # (2, nens, nl)
+        beta = np.einsum('abek->abek', Blin) * fH2bar[None, None]
+        b_kp1 = beta[:, :, :, k + 1]                   # (2,2,nens,nl)
+        b_k = beta[:, :, :, k]
+        g_kp2 = gamma_fac[:, k + 2] * q_di[:, :, k + 2]  # (2, nens, nl)
+        g_kp1 = gamma_fac[:, k + 1] * q_di[:, :, k + 1]
+        g_k = gamma_fac[:, k] * q_di[:, :, k]
+        tri_u += (-dtf2 * np.einsum('aek,abek,bek->ek', A_kp1, b_kp1,
+                                    g_kp2))[..., None]
+        tri_d += (dtf2 * np.einsum('aek,abek,bek->ek', A_kp1, b_kp1 + b_k,
+                                   g_kp1))[..., None]
+        tri_l += (-dtf2 * np.einsum('aek,abek,bek->ek', A_kp1, b_k,
+                                    g_k))[..., None]
+
+        # horizontal contribution (:2788-2843); beta' includes q_pi,
+        # fDnm1bar(m), he, fH1h and couples through vcoeff
+        def beta_h(kidx):
+            # (2, nens, len(kidx), nx) complex: beta'(d1, k, m)
+            core = np.einsum('abek,bek->aek', Blin[:, :, :, kidx],
+                             q_pi[:, :, kidx]) * \
+                (fH2bar * he * fH1h)[None, :, kidx]
+            return core[..., None] * fDnm1bar[None, None, None, :]
+
+        bh_kp1 = beta_h(k + 1)
+        bh_k = beta_h(k)
+        vc_kp1 = vcoeff_d[:, :, k + 1, :]              # (2, nens, nl, nx)
+        vc_k = vcoeff_d[:, :, k, :]
+        alpha_kp1 = dtf2 * q_di[:, :, k + 1]           # (2, nens, nl)
+        # sum over d1 (alpha), d2 (inside beta_h), d3 (vcoeff/gamma)
+        tri_u += -np.einsum('aek,aekm,cekm,cek->ekm', alpha_kp1, bh_kp1,
+                            vc_kp1, g_kp2)
+        tri_d += np.einsum('aek,aekm,cekm,cek->ekm', alpha_kp1, bh_kp1,
+                           vc_kp1, g_kp1) + \
+            np.einsum('aek,aekm,cekm,cek->ekm', alpha_kp1, bh_k, vc_k,
+                      g_kp1)
+        tri_l += -np.einsum('aek,aekm,cekm,cek->ekm', alpha_kp1, bh_k,
+                            vc_k, g_k)
+
+        # w-rhs coupling terms (solve:2970-3023): what(k) +=
+        #   a_kp1(k,m)*vhat(k+1) - a_k(k,m)*vhat(k)
+        a_kp1 = np.einsum('aek,aekm->ekm', dtf2 * q_di[:, :, k + 1],
+                          bh_kp1) * vcoeff0[:, k + 1, :]
+        a_k = np.einsum('aek,aekm->ekm', dtf2 * q_di[:, :, k + 1],
+                        bh_k) * vcoeff0[:, k, :]
+
+        # vhat recovery (solve:3052-3077): vhat(k) = vcoeff0*vhat +
+        #   g_up(k,m)*w(k) - g_dn(k,m)*w(k-1)
+        ki = np.arange(ni)
+        g_up = np.einsum('aekm,aek->ekm', vcoeff_d,
+                         gamma_fac[:, ki + 1] * q_di[:, :, ki + 1])
+        g_dn = np.einsum('aekm,aek->ekm', vcoeff_d,
+                         gamma_fac[:, ki] * q_di[:, :, ki])
+
+        return CompressibleVelocityLinearSystem(
+            geom=geom, varset=varset, dt=dt, Blin=Blin, vcoeff0=vcoeff0,
+            vcoeff_d=vcoeff_d, tri_l=tri_l, tri_d=tri_d, tri_u=tri_u,
+            a_kp1=a_kp1, a_k=a_k, g_up=g_up, g_dn=g_dn,
+            q_pi=refstate["q_pi"], q_di=refstate["q_di"],
+            rho_pi=rho_pi, rho_di=rho_di)
+
+    # ------------------------------------------------------------------
+    def _tridiag(self, rhs):
+        """Complex Thomas solve batched over (nens, nx), scan over nl
+        levels (extrudedmodel.h:3025-3050)."""
+        tri_l = jnp.asarray(self.tri_l)
+        tri_d = jnp.asarray(self.tri_d)
+        tri_u = jnp.asarray(self.tri_u)
+        # move level axis front: (nl, nens, nx)
+        L = jnp.moveaxis(tri_l, 1, 0)
+        D = jnp.moveaxis(tri_d, 1, 0)
+        U = jnp.moveaxis(tri_u, 1, 0)
+        R = jnp.moveaxis(rhs, 1, 0)
+
+        def fwd(carry, x):
+            c_prev, y_prev = carry
+            lk, dk, uk, rk = x
+            denom = dk - lk * c_prev
+            ck = uk / denom
+            yk = (rk - lk * y_prev) / denom
+            return (ck, yk), (ck, yk)
+
+        zero = jnp.zeros_like(R[0])
+        _, (cs, ys) = jax.lax.scan(fwd, (zero, zero), (L, D, U, R))
+
+        def bwd(w_next, x):
+            ck, yk = x
+            wk = yk - ck * w_next
+            return wk, wk
+
+        _, ws = jax.lax.scan(bwd, zero, (cs[::-1], ys[::-1]))
+        return jnp.moveaxis(ws[::-1], 0, 1)
+
+    def solve(self, rhs_dens, rhs_v, rhs_w):
+        """(extrudedmodel.h solve:2846-3161). rhs_dens (ndens,nens,nz,nx),
+        rhs_v (nens,nz,nx), rhs_w (nens,nz-1,nx). Returns solutions of the
+        same shapes."""
+        g = self.geom
+        nz = g.nz
+        dt = self.dt
+        dtf = dt / 2.0
+        cdtype = jnp.complex64 if rhs_v.dtype == jnp.float32 else \
+            jnp.complex128
+
+        q_pi = jnp.asarray(self.q_pi, rhs_v.dtype)     # (ndens, nens, nz)
+        q_di = jnp.asarray(self.q_di, rhs_v.dtype)
+        Blin = jnp.asarray(self.Blin, rhs_v.dtype)
+
+        # rhs 1 - B (:2909-2926)
+        rhs0 = op.Hn1bar(rhs_dens[:2], g)              # (2, nens, nz, nx)
+        bvar = -dtf * jnp.einsum('abek,bekx->aekx', Blin, rhs0)
+        # rhs 2 - v/w transforms (:2930-2946)
+        mod_v = jnp.einsum('aek,aekx->ekx', q_pi[:2],
+                           bvar - jnp.roll(bvar, 1, axis=-1))
+        v_t = rhs_v + mod_v
+        mod_w = jnp.einsum('aek,aekx->ekx', q_di[:2, :, 1:nz],
+                           bvar[:, :, 1:, :] - bvar[:, :, :-1, :])
+        w_t = rhs_w + mod_w
+
+        vhat = jnp.fft.fft(v_t, axis=-1).astype(cdtype)
+        what = jnp.fft.fft(w_t, axis=-1).astype(cdtype)
+
+        # modify wrhs (:2970-3023)
+        a_kp1 = jnp.asarray(self.a_kp1, cdtype)
+        a_k = jnp.asarray(self.a_k, cdtype)
+        what = what + a_kp1 * vhat[:, 1:, :] - a_k * vhat[:, :-1, :]
+
+        what = self._tridiag(what)
+
+        # compute vhat (:3052-3077)
+        zrow = jnp.zeros_like(what[:, :1, :])
+        w_up = jnp.concatenate([what, zrow], axis=1)     # w(k) for k<ni-1
+        w_dn = jnp.concatenate([zrow, what], axis=1)     # w(k-1) for k>0
+        vhat = jnp.asarray(self.vcoeff0, cdtype) * vhat + \
+            jnp.asarray(self.g_up, cdtype) * w_up - \
+            jnp.asarray(self.g_dn, cdtype) * w_dn
+
+        sol_v = jnp.real(jnp.fft.ifft(vhat, axis=-1)).astype(rhs_v.dtype)
+        sol_w = jnp.real(jnp.fft.ifft(what, axis=-1)).astype(rhs_w.dtype)
+
+        # recover densities (:3085-3159)
+        rho_pi = jnp.asarray(self.rho_pi, rhs_v.dtype)[:, :, None]
+        rho_di = jnp.asarray(self.rho_di, rhs_v.dtype)
+        F = op.H10(sol_v, g) * rho_pi                  # (nens, nz, nx)
+        dzp = jnp.asarray(g.dz_p, rhs_w.dtype)[:, :, None]
+        FW_in = sol_w * (g.dx / dzp) * rho_di[:, 1:nz, None]
+        zr = jnp.zeros_like(FW_in[:, :1, :])
+        FW = jnp.concatenate([zr, FW_in, zr], axis=1)  # (nens, nz+1, nx)
+        ddens = jnp.einsum('aek,ekx->aekx', q_pi,
+                           jnp.roll(F, -1, axis=-1) - F) + \
+            jnp.einsum('aek,ekx->aekx', q_di[:, :, 1:],
+                       FW[:, 1:, :]) - \
+            jnp.einsum('aek,ekx->aekx', q_di[:, :, :-1], FW[:, :-1, :])
+        sol_dens = rhs_dens - (dt / 2.0) * ddens
+        return sol_dens, sol_v, sol_w
+
+
+# ---------------------------------------------------------------------------
+# SI (quasi-Newton) time integrator
+# ---------------------------------------------------------------------------
+
+def si_step(tend, linsys, dens, v, w, geop, dt, max_iters: int = 3,
+            nquad: int = 2):
+    """One semi-implicit step (SI_Newton.h step_forward:31-149, with the
+    PAM-coupled fixed iteration count — monitor_convergence=0,
+    si_max_iters=3, si_nquad=2, core/params.h:153-158)."""
+    pts, wts = gauss_01(nquad)
+
+    dxd, dxv, dxw = tend.compute_rhs(dens, v, w, geop, dt)
+    xn = (dens, v, w)
+    res = (-dt * dxd, -dt * dxv, -dt * dxw)
+
+    for _ in range(max_iters):
+        sol = linsys.solve(*res)
+        xn = tuple(a + b for a, b in zip(xn, sol))
+        # discrete gradient: quadrature-averaged functional derivatives
+        # between x and xn (time_integrator.h:51-70)
+        Fa = FWa = Ba = None
+        for p, wq in zip(pts, wts):
+            md = (1 - p) * dens + p * xn[0]
+            mv = (1 - p) * v + p * xn[1]
+            mw = (1 - p) * w + p * xn[2]
+            F, FW, _, B = tend.functional_derivatives(md, mv, mw, geop)
+            if Fa is None:
+                Fa, FWa, Ba = wq * F, wq * FW, wq * B
+            else:
+                Fa, FWa, Ba = Fa + wq * F, FWa + wq * FW, Ba + wq * B
+        xm = tuple(0.5 * (a + b) for a, b in zip((dens, v, w), xn))
+        dxd, dxv, dxw = tend.apply_symplectic(xm[0], xm[1], xm[2], Fa, FWa,
+                                              Ba, dt)
+        res = (dens - xn[0] - dt * dxd, v - xn[1] - dt * dxv,
+               w - xn[2] - dt * dxw)
+    return xn

@@ -35,10 +35,10 @@ def _edge_recon_x(field, tables):
     hs = (ord - 1) // 2
     # periodic x windows: stencil for cell i = cells i-hs..i+hs
     sl = [jnp.roll(field, hs - s, axis=-1) for s in range(ord)]
-    sten = jnp.stack(sl, axis=-1)  # (..., nx, ord)
+    sten = jnp.stack(sl, axis=0)  # (ord, ..., nx) stencil axis leading
     aw = weno.weno_coefs(sten, s2c, wrl, tvh, tvl, idl, sigma)
-    left = jnp.einsum('...c,c->...', aw, c2g[:, 0])
-    right = jnp.einsum('...c,c->...', aw, c2g[:, 1])
+    left = jnp.einsum('c,c...->...', c2g[:, 0], aw)
+    right = jnp.einsum('c,c...->...', c2g[:, 1], aw)
     return left, right
 
 
@@ -47,11 +47,11 @@ def _edge_recon_z(field_padded, tables, nlev):
     array (pad hs on each side): returns (bottom_edge, top_edge) per cell."""
     s2c, wrl, tvh, tvl, c2g, idl, sigma = tables
     ord = s2c.shape[-1]
-    sten = weno.windows(field_padded, ord, AXZ)  # (..., nlev(+extra), nx, ord)
-    sten = sten[..., :nlev, :, :]
+    sten = weno.windows(field_padded, ord, AXZ)  # (ord, ..., nlev(+x), nx)
+    sten = sten[..., :nlev, :]
     aw = weno.weno_coefs(sten, s2c, wrl, tvh, tvl, idl, sigma)
-    bottom = jnp.einsum('...c,c->...', aw, c2g[:, 0])
-    top = jnp.einsum('...c,c->...', aw, c2g[:, 1])
+    bottom = jnp.einsum('c,c...->...', c2g[:, 0], aw)
+    top = jnp.einsum('c,c...->...', c2g[:, 1], aw)
     return bottom, top
 
 
@@ -266,10 +266,12 @@ class SpamTendencies:
         return denstend, vtend, wtend
 
     # ------------------------------------------------------------------
-    def compute_rhs(self, dens, v, w, geop, dt):
-        """Full apply_symplectic (extrudedmodel.h:2173-2486). Returns
-        (Fdens, Fv, Fw) with d(dens,v,w)/dt = -(Fdens, Fv, Fw)."""
-        F, FW, K, B = self.functional_derivatives(dens, v, w, geop)
+    def apply_symplectic(self, dens, v, w, F, FW, B, dt):
+        """Symplectic tendency assembly given functional derivatives
+        (extrudedmodel.h apply_symplectic:2173-2486). For semi-implicit
+        stepping, F/FW/B may be quadrature-averaged over a discrete
+        gradient while the PV/recon state (dens, v, w) is the midpoint
+        (time_integrator.h:51-70)."""
         FT = op.Wxz_u(FW)
         FTW = op.Wxz_w(F)
         qhz = self.q_and_f(dens, v, w)
@@ -279,6 +281,12 @@ class SpamTendencies:
                                             F, FW, dt)
         return self.tendencies_final(densrecon, densvertrecon, qhzrecon,
                                      qhzvertrecon, B, F, FW)
+
+    def compute_rhs(self, dens, v, w, geop, dt):
+        """fd + symplectic (model.h Tendencies::compute_rhs:275-284).
+        Returns (Fdens, Fv, Fw) with d(dens,v,w)/dt = -(Fdens, Fv, Fw)."""
+        F, FW, K, B = self.functional_derivatives(dens, v, w, geop)
+        return self.apply_symplectic(dens, v, w, F, FW, B, dt)
 
     # ------------------------------------------------------------------
     def energy(self, dens, v, w, geop):

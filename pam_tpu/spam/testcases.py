@@ -100,6 +100,74 @@ class DensityCurrent:
         return thermo.compute_entropic_var_from_p_T(p, T + dT, 1.0, 0, 0, 0)
 
 
+@dataclasses.dataclass(frozen=True)
+class GravityWave:
+    """Skamarock-Klemp inertia-gravity wave in an isothermal atmosphere
+    (ref: extrudedmodel.h:6593-6700). Has an analytic reference state for
+    the semi-implicit solver."""
+    g: float = 9.80616
+    Lx: float = 300e3
+    Lz: float = 10e3
+    T_ref: float = 250.0
+    p_s: float = 1e5
+    dT_max: float = 0.01
+    d: float = 5e3
+    x_c: float = 100e3
+    add_perturbation: bool = True
+
+    @property
+    def xc(self):
+        return 0.5 * self.Lx
+
+    def _isothermal(self, z, var_s, cst):
+        delta = self.g / (cst.Rd * self.T_ref)
+        return var_s * np.exp(-delta * z)
+
+    def refrho_f(self, z, thermo):
+        cst = thermo.cst
+        return self._isothermal(z, self.p_s / (cst.Rd * self.T_ref), cst)
+
+    def refnsq_f(self, z, thermo):
+        cst = thermo.cst
+        N2 = (cst.gamma_d - 1.0) / cst.gamma_d * self.g ** 2 / \
+            (cst.Rd * self.T_ref)
+        return N2 + 0.0 * z
+
+    def refentropicdensity_f(self, z, thermo):
+        cst = thermo.cst
+        rho = self.refrho_f(z, thermo)
+        p = cst.Rd * rho * self.T_ref
+        return rho * np.asarray(thermo.compute_entropic_var_from_p_T(
+            p, self.T_ref, 1.0, 0, 0, 0))
+
+    def _pert(self, x, z, cst):
+        delta = self.g / (cst.Rd * self.T_ref)
+        rho_s = self.p_s / (cst.Rd * self.T_ref)
+        dT_b = self.dT_max * np.exp(-((x - self.x_c) / self.d) ** 2) * \
+            np.sin(np.pi * z / self.Lz)
+        dT = np.exp(delta * z / 2.0) * dT_b
+        drho = np.exp(-delta * z / 2.0) * (-rho_s * dT_b / self.T_ref)
+        return dT, drho
+
+    def rho_f(self, x, z, thermo):
+        rho = self.refrho_f(z, thermo)
+        if self.add_perturbation:
+            rho = rho + self._pert(x, z, thermo.cst)[1]
+        return rho
+
+    def entropicvar_f(self, x, z, thermo):
+        cst = thermo.cst
+        rho_ref = self.refrho_f(z, thermo)
+        p = self._isothermal(z, self.p_s, cst)
+        T = self.T_ref
+        if self.add_perturbation:
+            dT, drho = self._pert(x, z, cst)
+            T = T + dT
+            p = p + cst.Rd * self.T_ref * drho + cst.Rd * rho_ref * dT
+        return np.asarray(thermo.compute_entropic_var_from_p_T(
+            p, T, 1.0, 0, 0, 0))
+
+
 def project_n1form(f, geom, nq: int = 5):
     """Cell-average (n1-form) projection of f(x, z) over dual cells by
     tensor-product Gauss quadrature (analog of set_n1form_values).
