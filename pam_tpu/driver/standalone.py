@@ -91,6 +91,35 @@ def run_mmf(cfg: dict, verbose: bool = True):
     return state
 
 
+def run_layer(cfg: dict, verbose: bool = True):
+    """Layer-model (SWE/TSWE) double-vortex run (layermodel.h)."""
+    import jax
+    from ..spam.layer import LayerModel, DoubleVortex, setup_double_vortex
+    tc = DoubleVortex()
+    variant = cfg.get("model", "swe")
+    if variant not in ("swe", "tswe"):
+        raise ValueError(f"unknown layer model {variant!r} "
+                         "(expected 'swe' or 'tswe')")
+    m = LayerModel(nx=cfg["crm_nx"], ny=cfg.get("crm_ny", cfg["crm_nx"]),
+                   nens=cfg.get("nens", 1), Lx=tc.Lx, Ly=tc.Ly, g=tc.g,
+                   variant=variant, ndens=2 if variant == "tswe" else 1)
+    dens, v, hs, cor = setup_double_vortex(m, tc)
+    dt = cfg.get("dtcrm", 120.0)
+    nsteps = int(np.ceil(cfg["sim_time"] / dt))
+    step = jax.jit(lambda d, vv: m.ssprk3_step(d, vv, hs, cor, dt))
+    stats_every = max(1, int(cfg.get("stat_freq", cfg["sim_time"] / 10) / dt))
+    t0 = time.time()
+    for n in range(nsteps):
+        dens, v = step(dens, v)
+        if verbose and (n + 1) % stats_every == 0:
+            st = m.statistics(dens, v, hs, cor)
+            print(f"step {n+1} t={dt*(n+1):9.2f}s  E={float(st['E'][0]):.8e} "
+                  f"mass={float(st['mass'][0, 0]):.8e}", flush=True)
+    if verbose:
+        print(f"Run Time: {time.time() - t0}")
+    return dens, v
+
+
 def run_idealized(cfg: dict, verbose: bool = True):
     """Idealized SPAM runs (risingbubble, densitycurrent) — the idealized
     branch with init_data dispatch (extrudedmodel.h testcase_from_string)."""
@@ -101,6 +130,8 @@ def run_idealized(cfg: dict, verbose: bool = True):
     from ..spam import testcases as tcs
 
     name = cfg["init_data"]
+    if name == "doublevortex":
+        return run_layer(cfg, verbose)
     tc = {"risingbubble": tcs.RisingBubble(),
           "densitycurrent": tcs.DensityCurrent(),
           "gravitywave": tcs.GravityWave()}[name]

@@ -17,8 +17,11 @@ TPU-first design decisions vs the reference CUDA/YAKL implementation:
   by the single cell it exits (the reference's own race-freedom argument).
 * The data-dependent sub-cycle count (Dycore.h:144) runs as a
   ``lax.while_loop`` under jit.
-* State layout is ``(nvar, nens, nz, ny, nx)`` — ensemble-leading for pjit
-  sharding, x innermost for VPU lanes.
+* Internal state layout is ``(nvar, nens, ny, nz, nx)`` — ensemble-leading
+  for pjit sharding, and the two MINOR dims are (nz, nx) so TPU (8, 128)
+  tiling is filled even when ny == 1 (the flagship MMF config); keeping
+  a size-1 ny minor-most would pad every elementwise op 8x in sublanes.
+  Coupler arrays stay (nens, nz, ny, nx); the converters transpose.
 
 All reconstruction matrices are derived at setup with numpy
 (pam_tpu.ops.recon_matrices), including per-level variable-grid vertical
@@ -44,8 +47,8 @@ from ..ops import weno
 ID_R, ID_U, ID_V, ID_W, ID_T = 0, 1, 2, 3, 4
 NUM_STATE = 5
 
-# array axes of stacked fields (nvar, nens, nz, ny, nx)
-AX_E, AX_Z, AX_Y, AX_X = 1, 2, 3, 4
+# array axes of stacked fields (nvar, nens, ny, nz, nx)
+AX_E, AX_Y, AX_Z, AX_X = 1, 2, 3, 4
 
 _CS = 350.0  # frozen acoustic characteristic speed (ref: Dycore.h:335)
 
@@ -83,12 +86,14 @@ class AwflDycore:
         hs = (ord + 1) // 2
         # LEADING matrix dims + trailing batch (nens, nz+2, 1, 1) so the
         # spatial dims keep their TPU tiling (pam_tpu.ops.weno docstring)
+        # batch dims (nens, 1[y], nz+2, 1[x]) aligning with the internal
+        # (..., ny, nz, nx) layout; level axis is -2
         vs2c = jnp.moveaxis(jnp.asarray(s2c, coupler.dtype),
-                            (2, 3), (0, 1))[..., None, None]
+                            (2, 3), (0, 1))[:, :, :, None, :, None]
         vwrl = jnp.moveaxis(jnp.asarray(wrl, coupler.dtype),
-                            (2, 3, 4), (0, 1, 2))[..., None, None]
-        assert vs2c.shape == (ord, ord, coupler.nens, coupler.nz + 2, 1, 1)
-        assert vwrl.shape == (hs, hs, hs, coupler.nens, coupler.nz + 2, 1, 1)
+                            (2, 3, 4), (0, 1, 2))[:, :, :, :, None, :, None]
+        assert vs2c.shape == (ord, ord, coupler.nens, 1, coupler.nz + 2, 1)
+        assert vwrl.shape == (hs, hs, hs, coupler.nens, 1, coupler.nz + 2, 1)
         return AwflDycore(coupler=coupler, ord=ord, cfl=cfl,
                           grav_balance=grav_balance, tables=tables,
                           vert_s2c=vs2c, vert_wrl=vwrl)
@@ -117,12 +122,16 @@ class AwflDycore:
         theta = (press / c.C0) ** (1.0 / c.gamma_d) / rho
         dyn = jnp.stack([rho, rho * state["uvel"], rho * state["vvel"],
                          rho * state["wvel"], rho * theta])
-        return dyn, tracers
+        # coupler (.., nz, ny, nx) -> internal (.., ny, nz, nx) layout
+        return jnp.swapaxes(dyn, 2, 3), jnp.swapaxes(tracers, 2, 3)
 
     def dynamics_to_coupler(self, state, dyn, tracers):
         """Inverse conversion. Ref: convert_dynamics_to_coupler,
         Dycore.h:1281-1331."""
         cpl, c = self.coupler, self.coupler.const
+        # internal (.., ny, nz, nx) -> coupler (.., nz, ny, nx) layout
+        dyn = jnp.swapaxes(dyn, 2, 3)
+        tracers = jnp.swapaxes(tracers, 2, 3)
         rho = dyn[ID_R]
         press = c.C0 * dyn[ID_T] ** c.gamma_d
         adds = jnp.asarray(cpl.tracer_adds_mass)
@@ -183,32 +192,28 @@ class AwflDycore:
         rho, u, v, w, th = dyn
         nz = cpl.nz
 
-        def rep(a, idx):  # replicate boundary level hs times
-            return jnp.repeat(a[:, idx:idx + 1] if a.ndim == 4 else
-                              a[:, :, idx:idx + 1], hs, axis=1 if a.ndim == 4 else 2)
-
         # bottom/top for u, v, theta: zero-gradient; w: zero (rigid lid/ground)
-        # (ref: Dycore.h:662-677)
+        # (ref: Dycore.h:662-677); z is axis 2 of (nens, ny, nz, nx)
         def zpad_field(a, bottom, top):
-            return jnp.concatenate([bottom, a, top], axis=1)
+            return jnp.concatenate([bottom, a, top], axis=2)
 
-        bot = lambda a: jnp.repeat(a[:, :1], hs, axis=1)
-        top = lambda a: jnp.repeat(a[:, -1:], hs, axis=1)
+        bot = lambda a: jnp.repeat(a[:, :, :1], hs, axis=2)
+        top = lambda a: jnp.repeat(a[:, :, -1:], hs, axis=2)
         u_p = zpad_field(u, bot(u), top(u))
         v_p = zpad_field(v, bot(v), top(v))
         th_p = zpad_field(th, bot(th), top(th))
         w_p = zpad_field(w, jnp.zeros_like(bot(w)), jnp.zeros_like(top(w)))
-        tr_bot = jnp.repeat(tracers[:, :, :1], hs, axis=2)
-        tr_top = jnp.repeat(tracers[:, :, -1:], hs, axis=2)
-        tracers = jnp.concatenate([tr_bot, tracers, tr_top], axis=2)
+        tr_bot = jnp.repeat(tracers[:, :, :, :1], hs, axis=3)
+        tr_top = jnp.repeat(tracers[:, :, :, -1:], hs, axis=3)
+        tracers = jnp.concatenate([tr_bot, tracers, tr_top], axis=3)
 
         # density: hydrostatic extrapolation using boundary rho/theta
         # (ref: Dycore.h:682-709); dz0 = dz of the boundary cell
         kk = jnp.arange(1, hs + 1, dtype=rho.dtype)
-        rho0_b, th0_b = rho[:, :1], th[:, :1]
-        rho0_t, th0_t = rho[:, -1:], th[:, -1:]
-        dz_b = dz[:, :1, None, None]   # (nens,1,1,1)
-        dz_t = dz[:, -1:, None, None]
+        rho0_b, th0_b = rho[:, :, :1], th[:, :, :1]
+        rho0_t, th0_t = rho[:, :, -1:], th[:, :, -1:]
+        dz_b = dz[:, None, :1, None]   # (nens,1,1,1)
+        dz_t = dz[:, None, -1:, None]
         gm1 = gamma - 1.0
 
         def hydro_halo(rho0, th0, dzb, sign):
@@ -222,18 +227,18 @@ class AwflDycore:
 
         halos_b = hydro_halo(rho0_b, th0_b, dz_b, +1.0)   # below ground: denser
         halos_t = hydro_halo(rho0_t, th0_t, dz_t, -1.0)
-        rho_bot = jnp.concatenate(list(reversed(halos_b)), axis=1)
-        rho_top = jnp.concatenate(halos_t, axis=1)
-        rho_p = jnp.concatenate([rho_bot, rho, rho_top], axis=1)
+        rho_bot = jnp.concatenate(list(reversed(halos_b)), axis=2)
+        rho_top = jnp.concatenate(halos_t, axis=2)
+        rho_p = jnp.concatenate([rho_bot, rho, rho_top], axis=2)
 
         if self.grav_balance:
             # halo pressure from halo rho*theta (ref: Dycore.h:691-693,705-707)
-            p_bot = C0 * (rho_bot * th_p[:, :hs]) ** gamma
-            p_top = C0 * (rho_top * th_p[:, -hs:]) ** gamma
+            p_bot = C0 * (rho_bot * th_p[:, :, :hs]) ** gamma
+            p_top = C0 * (rho_top * th_p[:, :, -hs:]) ** gamma
         else:
-            p_bot = jnp.repeat(pressure[:, :1], hs, axis=1)
-            p_top = jnp.repeat(pressure[:, -1:], hs, axis=1)
-        pressure = jnp.concatenate([p_bot, pressure, p_top], axis=1)
+            p_bot = jnp.repeat(pressure[:, :, :1], hs, axis=2)
+            p_top = jnp.repeat(pressure[:, :, -1:], hs, axis=2)
+        pressure = jnp.concatenate([p_bot, pressure, p_top], axis=2)
 
         dyn = jnp.stack([rho_p, u_p, v_p, w_p, th_p])
         return dyn, tracers, pressure
@@ -247,7 +252,7 @@ class AwflDycore:
         nz, ny, nx = cpl.nz, cpl.ny, cpl.nx
         dx, dy = cpl.dx, cpl.dy
         dz = state["vertical_cell_dz"]  # (nens, nz)
-        dz4 = dz[:, :, None, None]
+        dz4 = dz[:, None, :, None]      # broadcast over (nens, ny, nz, nx)
         gamma, C0, grav = c.gamma_d, c.C0, c.grav
         tpos = self.coupler.tracer_positive
 
@@ -258,7 +263,7 @@ class AwflDycore:
         if self.grav_balance:
             pressure = p_full
         else:
-            pressure = p_full - state["hy_pressure_cells"][:, :, None, None]
+            pressure = p_full - state["hy_pressure_cells"][:, None, :, None]
         prim = dyn.at[1:].divide(rho[None])
         trac_prim = tracers / rho[None]
 
@@ -287,15 +292,17 @@ class AwflDycore:
             pl = per_lev if axis == AX_Z else None
             # candidates for acoustic quantities (both sides)
             ruL, ruR = weno.reconstruct_faces_both(ru_fld[None], axis, tb,
-                                                   per_level=pl)
+                                                   per_level=pl,
+                                                   per_level_axis=-2)
             ppL, ppR = weno.reconstruct_faces_both(pres_d[None], axis, tb,
-                                                   per_level=pl)
+                                                   per_level=pl,
+                                                   per_level_axis=-2)
             ruL, ruR, ppL, ppR = ruL[0], ruR[0], ppL[0], ppR[0]
             if axis == AX_Z:
                 # rigid lid/ground: zero acoustic mass flux at top/bottom
                 # faces (ref: Dycore.h:477-496)
                 mask = jnp.zeros((nz + 1,), bool).at[0].set(True).at[-1].set(True)
-                mask = mask[None, :, None, None]
+                mask = mask[None, None, :, None]
                 ruL = jnp.where(mask, 0.0, ruL)
                 ruR = jnp.where(mask, 0.0, ruR)
             w1 = 0.5 * (ppR - _CS * ruR)
@@ -310,7 +317,8 @@ class AwflDycore:
             # upwind-selected reconstruction
             q = jnp.concatenate([dyn_d[1:], trac_d], axis=0)
             vals = weno.reconstruct_faces_upwind(q, axis, tb, upw[None],
-                                                 per_level=pl)
+                                                 per_level=pl,
+                                                 per_level_axis=-2)
             flux_q = ru[None] * vals
             # add pressure to the normal momentum flux
             flux_q = flux_q.at[mom_id - 1].add(pp)
@@ -320,8 +328,8 @@ class AwflDycore:
 
         sfx, tfx = direction(AX_X)
         if cpl.sim2d:
-            sfy = jnp.zeros((NUM_STATE, cpl.nens, nz, 2, nx), dyn.dtype)
-            tfy = jnp.zeros((cpl.num_tracers, cpl.nens, nz, 2, nx), dyn.dtype)
+            sfy = jnp.zeros((NUM_STATE, cpl.nens, 2, nz, nx), dyn.dtype)
+            tfy = jnp.zeros((cpl.num_tracers, cpl.nens, 2, nz, nx), dyn.dtype)
         else:
             sfy, tfy = direction(AX_Y)
         sfz, tfz = direction(AX_Z)
@@ -333,10 +341,10 @@ class AwflDycore:
             mass_avail = jnp.maximum(tracers_start, 0.0) * vol
             fxp = jnp.maximum(tfx[:, :, :, :, 1:], 0.0)
             fxm = jnp.minimum(tfx[:, :, :, :, :-1], 0.0)
-            fyp = jnp.maximum(tfy[:, :, :, 1:, :], 0.0)
-            fym = jnp.minimum(tfy[:, :, :, :-1, :], 0.0)
-            fzp = jnp.maximum(tfz[:, :, 1:], 0.0)
-            fzm = jnp.minimum(tfz[:, :, :-1], 0.0)
+            fyp = jnp.maximum(tfy[:, :, 1:, :, :], 0.0)
+            fym = jnp.minimum(tfy[:, :, :-1, :, :], 0.0)
+            fzp = jnp.maximum(tfz[:, :, :, 1:], 0.0)
+            fzm = jnp.minimum(tfz[:, :, :, :-1], 0.0)
             flux_out = (fxp - fxm) / dx + (fyp - fym) / dy + (fzp - fzm) / dz4
             mass_out = flux_out * dt * vol
             mult = jnp.where(mass_out > mass_avail,
@@ -385,9 +393,9 @@ class AwflDycore:
 
         s_tend = -(div(sfx, AX_X, dx) + div(sfy, AX_Y, dy) + div(sfz, AX_Z, dz4))
         if self.grav_balance:
-            gsrc = -state["variable_gravity"][:, :, None, None] * rho
+            gsrc = -state["variable_gravity"][:, None, :, None] * rho
         else:
-            gsrc = -grav * (rho - state["hy_dens_cells"][:, :, None, None])
+            gsrc = -grav * (rho - state["hy_dens_cells"][:, None, :, None])
         s_tend = s_tend.at[ID_W].add(gsrc)
         if cpl.sim2d:
             s_tend = s_tend.at[ID_V].set(0.0)
@@ -449,11 +457,13 @@ class AwflDycore:
         (grav_balance mode)."""
         c = self.coupler.const
         dyn, tracers = self.coupler_to_dynamics(state)
+        # back to coupler layout for horizontal means
+        to_cpl = lambda a: jnp.swapaxes(a, 1, 2)
         out = dict(state)
         if not self.grav_balance:
             press = c.C0 * dyn[ID_T] ** c.gamma_d
-            out["hy_pressure_cells"] = hmean(press)
-            out["hy_dens_cells"] = hmean(dyn[ID_R])
+            out["hy_pressure_cells"] = hmean(to_cpl(press))
+            out["hy_dens_cells"] = hmean(to_cpl(dyn[ID_R]))
             return out
         # grav-balance mode: discrete interface pressures by the same vertical
         # reconstruction the solver uses, averaged L/R (ref: Dycore.h:1449-1488)
@@ -464,12 +474,12 @@ class AwflDycore:
         dyn_p, trac_p, pres_p = self._pad_all(prim, tracers / rho[None],
                                               pressure, dz)
         hs = self.hs
-        sl = tuple([slice(None)] + [slice(None)] +
-                   [slice(None)] + [slice(hs, -hs), slice(hs, -hs)])
-        pres_d = pres_p[:, :, hs:-hs, hs:-hs]
-        pL, pR = weno.reconstruct_faces_both(pres_d[None], AX_Z, self.tables,
-                                             per_level=(self.vert_s2c, self.vert_wrl))
-        pint = 0.5 * (pL[0] + pR[0])  # (nens, nz+1, ny, nx)
-        gvar = hmean(-(pint[:, 1:] - pint[:, :-1]) / (rho * dz[:, :, None, None]))
+        pres_d = pres_p[:, hs:-hs, :, hs:-hs]   # y/x interior, z padded
+        pL, pR = weno.reconstruct_faces_both(
+            pres_d[None], AX_Z, self.tables,
+            per_level=(self.vert_s2c, self.vert_wrl), per_level_axis=-2)
+        pint = 0.5 * (pL[0] + pR[0])  # (nens, ny, nz+1, nx)
+        gvar = hmean(to_cpl(-(pint[:, :, 1:] - pint[:, :, :-1]) /
+                            (rho * dz[:, None, :, None])))
         out["variable_gravity"] = gvar
         return out

@@ -130,7 +130,8 @@ def _eval_edge(a, g):
     return jnp.einsum('c,c...->...', g, a)
 
 
-def reconstruct_faces_both(u_halo, axis, tables, per_level=None):
+def reconstruct_faces_both(u_halo, axis, tables, per_level=None,
+                           per_level_axis=-3):
     """Both one-sided face reconstructions (valL, valR) along ``axis``.
 
     valL = left cell's right-edge value; valR = right cell's left-edge value.
@@ -151,7 +152,7 @@ def reconstruct_faces_both(u_halo, axis, tables, per_level=None):
     else:
         s2c_lev, wrl_lev = per_level
         nfaces = stenL.shape[axis + 1]
-        lev = -3
+        lev = per_level_axis
         s2cL = jnp.take(s2c_lev, jnp.arange(0, nfaces), axis=lev)
         s2cR = jnp.take(s2c_lev, jnp.arange(1, nfaces + 1), axis=lev)
         wrlL = jnp.take(wrl_lev, jnp.arange(0, nfaces), axis=lev)
@@ -163,7 +164,8 @@ def reconstruct_faces_both(u_halo, axis, tables, per_level=None):
     return valL, valR
 
 
-def reconstruct_faces_upwind(u_halo, axis, tables, upw, per_level=None):
+def reconstruct_faces_upwind(u_halo, axis, tables, upw, per_level=None,
+                             per_level_axis=-3):
     """Single upwind-selected face reconstruction along ``axis``.
 
     ``upw`` is boolean, broadcastable to the face shape: True selects the left
@@ -186,7 +188,7 @@ def reconstruct_faces_upwind(u_halo, axis, tables, upw, per_level=None):
                          _eval_edge(a, c2g[:, 0]))
     s2c_lev, wrl_lev = per_level
     nfaces = stenL.shape[axis + 1]
-    lev = -3
+    lev = per_level_axis
     s2cL = jnp.take(s2c_lev, jnp.arange(0, nfaces), axis=lev)
     s2cR = jnp.take(s2c_lev, jnp.arange(1, nfaces + 1), axis=lev)
     wrlL = jnp.take(wrl_lev, jnp.arange(0, nfaces), axis=lev)
