@@ -24,6 +24,18 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # persistent compilation cache: repeat bench runs skip the (long)
+    # XLA compile of the fused CRM step
+    cache_dir = os.environ.get("PAM_JAX_CACHE",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception as e:  # older jax: ignore
+        log(f"compilation cache unavailable: {e}")
+
     from pam_tpu.driver.mmf import setup_supercell_mmf
     from pam_tpu.modules import gcm_forcing
 

@@ -32,6 +32,7 @@ class MmfDriver:
     dycore: Any
     micro: Any = None
     sgs: Any = None
+    rad: Any = None
     apply_sponge: bool = True
     apply_gcm_forcing: bool = True
     dt_gcm: float = 900.0
@@ -50,6 +51,8 @@ class MmfDriver:
             state = self.sgs.timestep(state, self.dt_crm_phys)
         if self.micro is not None:
             state = self.micro.timestep(state, self.dt_crm_phys)
+        if self.rad is not None:
+            state = self.rad.timestep(state, self.dt_crm_phys)
         return state
 
     def gcm_step(self, state):

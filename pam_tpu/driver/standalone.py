@@ -145,6 +145,39 @@ def run_idealized(cfg: dict, verbose: bool = True):
     tend = SpamTendencies(geom=geom, varset=vs, thermo=thermo, grav=tc.g)
     dens, v, w, geop = tcs.setup_testcase(tc, geom, thermo)
 
+    if cfg.get("hamil") == "an":
+        # anelastic variant (PAMC_HAMIL=an): rho pinned to the reference
+        # profile, per-rhs pressure projection, no acoustic CFL limit
+        from ..spam import si as si_mod
+        from ..spam.anelastic import (AnelasticPressureSolver,
+                                      AnelasticTendencies, project_initial)
+        import dataclasses as dc
+        if not hasattr(tc, "refrho_f"):
+            raise ValueError(
+                f"init_data {name!r} has no reference state for hamil=an")
+        ref = si_mod.build_reference_state(
+            geom, thermo, vs, lambda z: tc.refrho_f(z, thermo),
+            lambda z: tc.refentropicdensity_f(z, thermo),
+            lambda z: tc.refnsq_f(z, thermo), tc.g)
+        psolver = AnelasticPressureSolver.build(geom, ref["rho_pi"],
+                                                ref["rho_di"])
+        J = jnp.asarray
+        tend = AnelasticTendencies(
+            geom=geom, varset=vs, thermo=thermo, grav=tc.g,
+            force_refstate_hydrostatic_balance=True,
+            refdens=J(ref["dens"]), ref_rho_pi=J(ref["rho_pi"]),
+            ref_q_pi=J(ref["q_pi"]), ref_rho_di=J(ref["rho_di"]),
+            ref_q_di=J(ref["q_di"]), ref_B=J(ref["B"]), psolver=psolver)
+        # anelastic IC: rho = refrho (extrudedmodel.h:5344-5347)
+        dens_rho = J(np.broadcast_to(
+            np.asarray(ref["dens"][0])[:, :, None],
+            (nens, nz, nx)).copy())
+        dens_S = J(tcs.project_n1form(
+            lambda x, z: tc.refrho_f(z, thermo) *
+            tc.entropicvar_f(x, z, thermo), geom))
+        dens = jnp.stack([dens_rho, dens_S])
+        v, w = project_initial(psolver, v, w)
+
     tstype = cfg.get("tstype", "ssprk3")
     if tstype == "si":
         # semi-implicit: needs a testcase reference state (ref: params
@@ -171,14 +204,19 @@ def run_idealized(cfg: dict, verbose: bool = True):
         step = jax.jit(lambda d, vv, ww: si_mod.si_step(
             tend, lin, d, vv, ww, geop, dt,
             cfg.get("si_max_iters", 3), cfg.get("si_nquad", 2)))
-    elif tstype == "ssprk3":
+    else:
+        from ..spam.timesteppers import STEPPERS
+        if tstype not in STEPPERS:
+            raise ValueError(f"unknown tstype {tstype!r}")
+        stepper = STEPPERS[tstype]
         dt = cfg.get("dtcrm",
                      0.3 * min(geom.dx, float(geom.dz_d.min())) / 350.0)
         nsteps = int(np.ceil(cfg["sim_time"] / dt))
-        step = jax.jit(lambda d, vv, ww: tend.ssprk3_step(d, vv, ww, geop,
-                                                          dt))
-    else:
-        raise ValueError(f"unknown tstype {tstype!r}")
+
+        def rhs(x):
+            return tend.compute_rhs(x[0], x[1], x[2], geop, dt)
+
+        step = jax.jit(lambda d, vv, ww: stepper(rhs, (d, vv, ww), dt))
     stat_freq = cfg.get("stat_freq", cfg["sim_time"] / 10)
     stats_every = max(1, int(stat_freq / dt))
     t0 = time.time()

@@ -37,10 +37,26 @@ def isentropic_rho(z, theta0, g, cst):
     return p / (cst.Rd * T)
 
 
+def const_stability_T(z, N, g, Ts, cst):
+    """(extrudedmodel.h:5191-5196)."""
+    S = N * N / g
+    G = g / (cst.Cpd * Ts * S)
+    return Ts * np.exp(S * z) * (1.0 - G * (1.0 - np.exp(-S * z)))
+
+
+def const_stability_p(z, N, g, ps, Ts, cst):
+    """(extrudedmodel.h:5185-5190)."""
+    S = N * N / g
+    G = g / (cst.Cpd * Ts * S)
+    return ps * (1.0 - G * (1.0 - np.exp(-S * z))) ** (1.0 / cst.kappa_d)
+
+
 @dataclasses.dataclass(frozen=True)
 class RisingBubble:
     """Dry rising thermal in an isentropic background
-    (ref: extrudedmodel.h:6194-6279; acoustic_balance=False branch)."""
+    (ref: extrudedmodel.h:6194-6279; acoustic_balance=False branch).
+    Carries a constant-stability (N=1e-4) reference state for the
+    anelastic/SI solvers (:6210-6240)."""
     g: float = 9.80616
     Lx: float = 1000.0
     Lz: float = 1500.0
@@ -48,10 +64,32 @@ class RisingBubble:
     bzc: float = 350.0
     dss: float = 0.5
     rc: float = 250.0
+    N_ref: float = 0.0001
 
     @property
     def xc(self):
         return 0.5 * self.Lx
+
+    def refnsq_f(self, z, thermo):
+        return self.N_ref ** 2 + 0.0 * z
+
+    def refp_f(self, z, thermo):
+        return const_stability_p(z, self.N_ref, self.g, thermo.cst.pr,
+                                 self.theta0, thermo.cst)
+
+    def refT_f(self, z, thermo):
+        return const_stability_T(z, self.N_ref, self.g, self.theta0,
+                                 thermo.cst)
+
+    def refrho_f(self, z, thermo):
+        p = self.refp_f(z, thermo)
+        T = self.refT_f(z, thermo)
+        return 1.0 / np.asarray(thermo.compute_alpha(p, T, 1.0, 0, 0, 0))
+
+    def refentropicdensity_f(self, z, thermo):
+        rho = self.refrho_f(z, thermo)
+        return rho * np.asarray(thermo.compute_entropic_var_from_p_T(
+            self.refp_f(z, thermo), self.refT_f(z, thermo), 1.0, 0, 0, 0))
 
     def rho_f(self, x, z, thermo):
         return isentropic_rho(z, self.theta0, self.g, thermo.cst)

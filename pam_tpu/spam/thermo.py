@@ -102,6 +102,17 @@ class IdealGasPottemp:
         p = self.solve_p(1.0 / alpha, entropic_var)
         return (self.cst.gamma_d * p * alpha) ** 0.5
 
+    def compute_H(self, p, entropic_var, qd=0, qv=0, ql=0, qi=0):
+        """Specific enthalpy at pressure p (thermo.h:112-115)."""
+        c = self.cst
+        return c.Cpd * entropic_var * (p / c.pr) ** c.kappa_d
+
+    def compute_dHdentropic_var(self, p, entropic_var, qd=0, qv=0, ql=0,
+                                qi=0):
+        """(thermo.h:122-125)."""
+        c = self.cst
+        return c.Cpd * (p / c.pr) ** c.kappa_d
+
 
 @dataclasses.dataclass(frozen=True)
 class ConstantKappaVirtualPottemp:
@@ -180,3 +191,18 @@ class ConstantKappaVirtualPottemp:
                            qi=0.0):
         p = self.solve_p(1.0 / alpha, entropic_var)
         return (self.cst.gamma_d * p * alpha) ** 0.5
+
+    def compute_H(self, p, entropic_var, qd=0.0, qv=0.0, ql=0.0, qi=0.0):
+        """Moist specific enthalpy at pressure p (thermo.h:388-394)."""
+        c = self.cst
+        Rstar = qd * c.Rd + qv * c.Rv
+        return (c.Cpd * entropic_var * (p / c.pr) ** c.kappa_d -
+                c.Cpd * Rstar / c.Rd * c.Tr + qd * c.Rd * c.Tr +
+                qv * (c.Lvr + c.Lfr) + ql * c.Lfr)
+
+    def compute_dHdentropic_var(self, p, entropic_var, qd=0.0, qv=0.0,
+                                ql=0.0, qi=0.0):
+        """(thermo.h:401-404)."""
+        c = self.cst
+        return c.Cpd * (p / c.pr) ** c.kappa_d
+

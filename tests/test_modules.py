@@ -219,3 +219,23 @@ def test_vertical_interp_cells_to_edges():
                                     bc_lower=vinterp.BC_ZERO_VALUE,
                                     bc_upper=vinterp.BC_ZERO_VALUE)
     assert float(edges3[0, 0]) == 0.0 and float(edges3[0, -1]) == 0.0
+
+
+def test_forced_radiation_applies_enthalpy_tendency():
+    """Forced radiation heats each CRM column by the coarse-cell tendency
+    (ref: physics/radiation/forced/radiation.h:40-44)."""
+    from pam_tpu.physics import radiation
+    cpl = make_cpl(nx=8, micro=False)
+    cpl = radiation.register(cpl, rad_nx=2, rad_ny=1)
+    rng = np.random.default_rng(7)
+    state = base_state(cpl, rng)
+    state = radiation.init_state(cpl, state)
+    tend = np.zeros((cpl.nens, cpl.nz, 1, 2))
+    tend[:, :, 0, 0] = 100.0   # left half heats, right half does not
+    state["rad_enthalpy_tend"] = jnp.asarray(tend)
+    rad = radiation.ForcedRadiation(cpl)
+    out = rad.timestep(state, 10.0)
+    dT = np.asarray(out["temp"] - state["temp"])
+    expected = 100.0 / cpl.const.cp_d * 10.0
+    assert np.allclose(dT[:, :, :, :4], expected)
+    assert np.allclose(dT[:, :, :, 4:], 0.0)

@@ -151,3 +151,31 @@ def test_spam_coupled_dycore_roundtrip_and_step():
     assert t.min() > 150.0 and t.max() < 350.0
     # column stays near hydrostatic: no violent vertical motion in 5 s
     assert float(jnp.max(jnp.abs(out["wvel"]))) < 5.0
+
+
+def test_alternative_time_integrators_agree():
+    """ssprk2/34, kgrk4, lsrk5 all advance the bubble consistently with
+    ssprk3 at small dt (timesteppers/{SSPRK,KGRK,LSRK}.h)."""
+    from pam_tpu.spam.timesteppers import STEPPERS
+    _, _, _, _, tend, dens, v, w, geop = make_bubble(nx=20, nz=15)
+    dt = 0.04
+
+    def rhs(x):
+        return tend.compute_rhs(x[0], x[1], x[2], geop, dt)
+
+    m0 = float(dens[0].sum())
+    results = {}
+    for name in ("ssprk3", "ssprk2", "ssprk34", "kgrk4", "lsrk5"):
+        x = (dens, v, w)
+        step = jax.jit(lambda xx, _n=name: STEPPERS[_n](rhs, xx, dt))
+        for _ in range(25):
+            x = step(x)
+        results[name] = np.asarray(x[2])
+        assert np.isfinite(results[name]).all(), name
+        assert np.isclose(float(x[0][0].sum()), m0, rtol=1e-12), name
+    ref = results["ssprk3"]
+    scale = max(np.abs(ref).max(), 1e-30)
+    # ssprk2 is 2nd order: visibly larger dispersion error on acoustics
+    tols = {"ssprk2": 5e-2, "ssprk34": 5e-3, "kgrk4": 5e-3, "lsrk5": 5e-3}
+    for name, tol in tols.items():
+        assert np.abs(results[name] - ref).max() < tol * scale, name
