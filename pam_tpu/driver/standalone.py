@@ -92,10 +92,13 @@ def run_mmf(cfg: dict, verbose: bool = True):
 
 
 def run_layer(cfg: dict, verbose: bool = True):
-    """Layer-model (SWE/TSWE) double-vortex run (layermodel.h)."""
+    """Layer-model (SWE/TSWE) runs: doublevortex / bickleyjet
+    (layermodel.h:1272-1404)."""
     import jax
-    from ..spam.layer import LayerModel, DoubleVortex, setup_double_vortex
-    tc = DoubleVortex()
+    from ..spam.layer import (LayerModel, DoubleVortex, BickleyJet,
+                              setup_double_vortex)
+    tc = {"doublevortex": DoubleVortex(),
+          "bickleyjet": BickleyJet()}[cfg.get("init_data", "doublevortex")]
     variant = cfg.get("model", "swe")
     if variant not in ("swe", "tswe"):
         raise ValueError(f"unknown layer model {variant!r} "
@@ -125,25 +128,30 @@ def run_idealized(cfg: dict, verbose: bool = True):
     branch with init_data dispatch (extrudedmodel.h testcase_from_string)."""
     import jax
     import jax.numpy as jnp
-    from ..spam import (ExtrudedGeometry, IdealGasPottemp, VariableSet,
-                        SpamTendencies)
+    from ..spam import (ExtrudedGeometry, VariableSet, SpamTendencies)
+    from ..spam.thermo import thermo_from_string
     from ..spam import testcases as tcs
 
     name = cfg["init_data"]
-    if name == "doublevortex":
+    if name in ("doublevortex", "bickleyjet"):
         return run_layer(cfg, verbose)
-    tc = {"risingbubble": tcs.RisingBubble(),
-          "densitycurrent": tcs.DensityCurrent(),
-          "gravitywave": tcs.GravityWave()}[name]
+    tc, moist = tcs.testcase_from_string(name)
     nx = cfg["crm_nx"]
     nz = cfg["crm_nz"]
     nens = cfg.get("nens", 1)
     geom = ExtrudedGeometry.build(nx, np.linspace(0.0, tc.Lz, nz + 1),
                                   tc.Lx, nens, jnp.float64)
-    thermo = IdealGasPottemp()
-    vs = VariableSet(variant="CE", geom=geom, thermo=thermo)
-    tend = SpamTendencies(geom=geom, varset=vs, thermo=thermo, grav=tc.g)
-    dens, v, w, geop = tcs.setup_testcase(tc, geom, thermo)
+    thermo = thermo_from_string(cfg.get(
+        "thermo", "constkappavirpottemp" if moist else "idealgaspottemp"))
+    if moist:
+        vs = VariableSet(variant="MCE_rho", tracer_names=("water_vapor",),
+                         tracer_positive=(True,), geom=geom, thermo=thermo)
+        tend = SpamTendencies(geom=geom, varset=vs, thermo=thermo, grav=tc.g)
+        dens, v, w, geop = tcs.setup_moist_testcase(tc, geom, thermo)
+    else:
+        vs = VariableSet(variant="CE", geom=geom, thermo=thermo)
+        tend = SpamTendencies(geom=geom, varset=vs, thermo=thermo, grav=tc.g)
+        dens, v, w, geop = tcs.setup_testcase(tc, geom, thermo)
 
     if cfg.get("hamil") == "an":
         # anelastic variant (PAMC_HAMIL=an): rho pinned to the reference

@@ -312,7 +312,39 @@ class DoubleVortex:
         return sval * self.h_f(x, y)
 
 
-def setup_double_vortex(model: LayerModel, tc: DoubleVortex, nquad: int = 5):
+@dataclasses.dataclass(frozen=True)
+class BickleyJet:
+    """Unstable Bickley jet with sinusoidal perturbation
+    (ref: layermodel.h:1362-1393). Nondimensional domain 4*pi x 4*pi,
+    no Coriolis; TSWE bouyancy S = g*h."""
+    g: float = 9.80616
+    Lx: float = 4.0 * np.pi
+    Ly: float = 4.0 * np.pi
+    eps: float = 0.1
+    l: float = 0.5
+    k: float = 0.5
+    coriolis: float = 0.0
+
+    def h_f(self, x, y):
+        return np.ones_like(x + y)
+
+    def v_f(self, x, y):
+        # domain is centered at (xc, yc) = 0 in the reference; our grid
+        # spans [0, L), so shift to [-L/2, L/2)
+        x = x - 0.5 * self.Lx
+        y = y - 0.5 * self.Ly
+        U = np.cosh(y) ** -2
+        psi = (np.exp(-(y + self.l / 10.0) ** 2 / (2 * self.l ** 2)) *
+               np.cos(self.k * x) * np.cos(self.k * y))
+        u = psi * (self.k * np.tan(self.k * y) + y / self.l ** 2)
+        v = -psi * self.k * np.tan(self.k * x)
+        return U + self.eps * u, self.eps * v
+
+    def S_f(self, x, y):
+        return self.g * self.h_f(x, y)
+
+
+def setup_double_vortex(model: LayerModel, tc, nquad: int = 5):
     """Initial (dens, v, hs, coriolis) via Gauss quadrature projections
     (SWETestCase::set_initial_conditions, layermodel.h:1207-1264)."""
     qp, qw = np.polynomial.legendre.leggauss(nquad)

@@ -51,6 +51,18 @@ def const_stability_p(z, N, g, ps, Ts, cst):
     return ps * (1.0 - G * (1.0 - np.exp(-S * z))) ** (1.0 / cst.kappa_d)
 
 
+def linear_ellipsoid(x, z, x0, z0, xrad, zrad, amp):
+    """Cone-shaped perturbation (extrudedmodel.h:5198-5205)."""
+    dist = np.sqrt(((x - x0) / xrad) ** 2 + ((z - z0) / zrad) ** 2)
+    return amp * np.maximum(1.0 - dist, 0.0)
+
+
+def saturation_vapor_pressure(temp):
+    """Magnus formula (extrudedmodel.h:5209-5212)."""
+    tc = temp - 273.15
+    return 610.94 * np.exp(17.625 * tc / (243.04 + tc))
+
+
 @dataclasses.dataclass(frozen=True)
 class RisingBubble:
     """Dry rising thermal in an isentropic background
@@ -104,6 +116,174 @@ class RisingBubble:
                           0.0)
         dT = dtheta * (p / cst.pr) ** cst.kappa_d
         return thermo.compute_entropic_var_from_p_T(p, T + dT, 1.0, 0, 0, 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class TwoBubbles:
+    """Robert (1993) warm+cold bubble pair in an isentropic background
+    (ref: extrudedmodel.h:6279-6369)."""
+    g: float = 9.80616
+    Lx: float = 1000.0
+    Lz: float = 1000.0
+    theta0: float = 303.15
+    A1: float = 0.5
+    a1: float = 150.0
+    s1: float = 50.0
+    x1: float = 500.0
+    z1: float = 300.0
+    A2: float = -0.15
+    a2: float = 0.0
+    s2: float = 50.0
+    x2: float = 560.0
+    z2: float = 640.0
+    N_ref: float = 0.0001
+
+    @property
+    def xc(self):
+        return 0.5 * self.Lx
+
+    def refnsq_f(self, z, thermo):
+        return self.N_ref ** 2 + 0.0 * z
+
+    def refp_f(self, z, thermo):
+        return const_stability_p(z, self.N_ref, self.g, thermo.cst.pr,
+                                 self.theta0, thermo.cst)
+
+    def refT_f(self, z, thermo):
+        return const_stability_T(z, self.N_ref, self.g, self.theta0,
+                                 thermo.cst)
+
+    def refrho_f(self, z, thermo):
+        p, T = self.refp_f(z, thermo), self.refT_f(z, thermo)
+        return 1.0 / np.asarray(thermo.compute_alpha(p, T, 1.0, 0, 0, 0))
+
+    def refentropicdensity_f(self, z, thermo):
+        rho = self.refrho_f(z, thermo)
+        return rho * np.asarray(thermo.compute_entropic_var_from_p_T(
+            self.refp_f(z, thermo), self.refT_f(z, thermo), 1.0, 0, 0, 0))
+
+    def rho_f(self, x, z, thermo):
+        return isentropic_rho(z, self.theta0, self.g, thermo.cst)
+
+    def entropicvar_f(self, x, z, thermo):
+        cst = thermo.cst
+        p = isentropic_p(z, self.theta0, self.g, cst)
+        T = isentropic_T(z, self.theta0, self.g, cst)
+        r1 = np.sqrt((x - self.x1) ** 2 + (z - self.z1) ** 2)
+        dth = np.where(r1 <= self.a1, self.A1,
+                       self.A1 * np.exp(-(r1 - self.a1) ** 2 / self.s1 ** 2))
+        r2 = np.sqrt((x - self.x2) ** 2 + (z - self.z2) ** 2)
+        dth = dth + np.where(
+            r2 <= self.a2, self.A2,
+            self.A2 * np.exp(-(r2 - self.a2) ** 2 / self.s2 ** 2))
+        dT = dth * (p / cst.pr) ** cst.kappa_d
+        return thermo.compute_entropic_var_from_p_T(p, T + dT, 1.0, 0, 0, 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class LargeRisingBubble:
+    """20 km-domain dry thermal with a cone perturbation
+    (ref: extrudedmodel.h:6482-6540)."""
+    g: float = 9.80616
+    Lx: float = 20000.0
+    Lz: float = 20000.0
+    theta0: float = 300.0
+    bzc: float = 2000.0
+    xrad: float = 2000.0
+    zrad: float = 2000.0
+    amp_theta: float = 2.0
+    amp_vapor: float = 0.8
+    N_ref: float = 0.0001
+
+    @property
+    def xc(self):
+        return 0.5 * self.Lx
+
+    def refnsq_f(self, z, thermo):
+        return self.N_ref ** 2 + 0.0 * z
+
+    def refp_f(self, z, thermo):
+        return const_stability_p(z, self.N_ref, self.g, thermo.cst.pr,
+                                 self.theta0, thermo.cst)
+
+    def refT_f(self, z, thermo):
+        return const_stability_T(z, self.N_ref, self.g, self.theta0,
+                                 thermo.cst)
+
+    def refrho_f(self, z, thermo):
+        p, T = self.refp_f(z, thermo), self.refT_f(z, thermo)
+        return 1.0 / np.asarray(thermo.compute_alpha(p, T, 1.0, 0, 0, 0))
+
+    def refentropicdensity_f(self, z, thermo):
+        rho = self.refrho_f(z, thermo)
+        return rho * np.asarray(thermo.compute_entropic_var_from_p_T(
+            self.refp_f(z, thermo), self.refT_f(z, thermo), 1.0, 0, 0, 0))
+
+    def rho_f(self, x, z, thermo):
+        return isentropic_rho(z, self.theta0, self.g, thermo.cst)
+
+    def entropicvar_f(self, x, z, thermo):
+        cst = thermo.cst
+        p = isentropic_p(z, self.theta0, self.g, cst)
+        T0 = isentropic_T(z, self.theta0, self.g, cst)
+        dtheta = linear_ellipsoid(x, z, self.xc, self.bzc, self.xrad,
+                                  self.zrad, self.amp_theta)
+        dT = dtheta * (p / cst.pr) ** cst.kappa_d
+        return thermo.compute_entropic_var_from_p_T(p, T0 + dT, 1.0, 0, 0, 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class MoistRisingBubble(RisingBubble):
+    """RisingBubble plus a relative-humidity bubble of water vapor
+    (ref: extrudedmodel.h:6442-6480; MCE_rho variant: total rho =
+    rhod + rhov)."""
+    rh0: float = 0.8
+
+    def rhod_f(self, x, z, thermo):
+        cst = thermo.cst
+        p = isentropic_p(z, self.theta0, self.g, cst)
+        T = isentropic_T(z, self.theta0, self.g, cst)
+        return 1.0 / np.asarray(thermo.compute_alpha(p, T, 1.0, 0, 0, 0))
+
+    def rhov_f(self, x, z, thermo):
+        r = np.sqrt((x - self.xc) ** 2 + (z - self.bzc) ** 2)
+        rh = np.where(r < self.rc,
+                      self.rh0 * 0.5 * (1.0 + np.cos(np.pi * r / self.rc)),
+                      0.0)
+        Th = isentropic_T(z, self.theta0, self.g, thermo.cst)
+        pv = saturation_vapor_pressure(Th) * rh
+        return pv / (thermo.cst.Rv * Th)
+
+    def rho_f(self, x, z, thermo):
+        return self.rhod_f(x, z, thermo) + self.rhov_f(x, z, thermo)
+
+    def refrhov_f(self, z, thermo):
+        return 0.0 * z
+
+
+@dataclasses.dataclass(frozen=True)
+class MoistLargeRisingBubble(LargeRisingBubble):
+    """LargeRisingBubble plus a cone-shaped vapor perturbation
+    (ref: extrudedmodel.h:6543-6592)."""
+
+    def rhod_f(self, x, z, thermo):
+        cst = thermo.cst
+        p = isentropic_p(z, self.theta0, self.g, cst)
+        T = isentropic_T(z, self.theta0, self.g, cst)
+        return 1.0 / np.asarray(thermo.compute_alpha(p, T, 1.0, 0, 0, 0))
+
+    def rhov_f(self, x, z, thermo):
+        pert = linear_ellipsoid(x, z, self.xc, self.bzc, self.xrad,
+                                self.zrad, self.amp_vapor)
+        Th = isentropic_T(z, self.theta0, self.g, thermo.cst)
+        pv = saturation_vapor_pressure(Th) * pert
+        return pv / (thermo.cst.Rv * Th)
+
+    def rho_f(self, x, z, thermo):
+        return self.rhod_f(x, z, thermo) + self.rhov_f(x, z, thermo)
+
+    def refrhov_f(self, z, thermo):
+        return 0.0 * z
 
 
 @dataclasses.dataclass(frozen=True)
@@ -237,3 +417,42 @@ def setup_testcase(tc, geom, thermo, varset_cls=None):
     v = jnp.zeros((geom.nens, geom.nz, geom.nx), dtype)
     w = jnp.zeros((geom.nens, geom.nz - 1, geom.nx), dtype)
     return dens, v, w, jnp.asarray(geop, dtype)
+
+
+def setup_moist_testcase(tc, geom, thermo):
+    """Build initial (dens, v, w, geop) for a moist (MCE_rho) test case:
+    dens = [rho_total, S, rho_v] (ref: MoistEulerTestCase
+    set_initial_conditions, extrudedmodel.h:5577-5625 — S uses the full
+    rho including vapor; vapor density from rhov_f)."""
+    dens_rho = project_n1form(lambda x, z: tc.rho_f(x, z, thermo), geom)
+    dens_S = project_n1form(
+        lambda x, z: tc.rho_f(x, z, thermo) * tc.entropicvar_f(x, z, thermo),
+        geom)
+    dens_v = project_n1form(lambda x, z: tc.rhov_f(x, z, thermo), geom)
+    geop = project_n1form(lambda x, z: tc.g * z, geom)
+    dtype = geom.dtype
+    dens = jnp.stack([jnp.asarray(dens_rho, dtype),
+                      jnp.asarray(dens_S, dtype),
+                      jnp.asarray(dens_v, dtype)])
+    v = jnp.zeros((geom.nens, geom.nz, geom.nx), dtype)
+    w = jnp.zeros((geom.nens, geom.nz - 1, geom.nx), dtype)
+    return dens, v, w, jnp.asarray(geop, dtype)
+
+
+# Analog of testcase_from_string (extrudedmodel.h:7288-7316). Values are
+# (testcase class, moist?).
+TESTCASE_REGISTRY = {
+    "risingbubble": (RisingBubble, False),
+    "twobubbles": (TwoBubbles, False),
+    "densitycurrent": (DensityCurrent, False),
+    "largerisingbubble": (LargeRisingBubble, False),
+    "gravitywave": (GravityWave, False),
+    "moistrisingbubble": (MoistRisingBubble, True),
+    "moistlargerisingbubble": (MoistLargeRisingBubble, True),
+}
+
+
+def testcase_from_string(name: str):
+    """Returns (testcase instance, moist flag)."""
+    cls, moist = TESTCASE_REGISTRY[name.lower()]
+    return cls(), moist

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax.numpy as jnp
+
 
 @dataclasses.dataclass(frozen=True)
 class ThermoConstants:
@@ -205,4 +207,98 @@ class ConstantKappaVirtualPottemp:
         """(thermo.h:401-404)."""
         c = self.cst
         return c.Cpd * (p / c.pr) ** c.kappa_d
+
+
+@dataclasses.dataclass(frozen=True)
+class IdealGasEntropy:
+    """Dry ideal gas with specific entropy as the entropic variable
+    (ref: thermo.h:202-340 IdealGas_Entropy). Ignores all q arguments,
+    like the reference."""
+    cst: ThermoConstants = ThermoConstants()
+    moist_species_decouple_from_dynamics = True
+
+    def compute_U(self, alpha, entropic_var, qd=0, qv=0, ql=0, qi=0):
+        c = self.cst
+        return (c.Cvd * c.Tr * (alpha * c.pr / (c.Rd * c.Tr)) ** (-c.delta_d)
+                * jnp.exp(entropic_var / c.Cvd))
+
+    def compute_dUdalpha(self, alpha, entropic_var, qd=0, qv=0, ql=0, qi=0):
+        c = self.cst
+        U = self.compute_U(alpha, entropic_var)
+        return -c.Rd / c.Cvd * U / alpha
+
+    def compute_dUdentropic_var(self, alpha, entropic_var, qd=0, qv=0, ql=0,
+                                qi=0):
+        return self.compute_U(alpha, entropic_var) / self.cst.Cvd
+
+    def compute_dUdq(self, alpha, entropic_var, qd=0, qv=0, ql=0, qi=0):
+        return 0.0, 0.0, 0.0, 0.0
+
+    def compute_alpha(self, p, T, qd=0, qv=0, ql=0, qi=0):
+        return self.cst.Rd * T / p
+
+    def compute_entropic_var_from_p_T(self, p, T, qd=0, qv=0, ql=0, qi=0):
+        c = self.cst
+        return c.Cpd * jnp.log(T / c.Tr) - c.Rd * jnp.log(p / c.pr)
+
+    def compute_entropic_var_from_alpha_T(self, alpha, T, qd=0, qv=0, ql=0,
+                                          qi=0):
+        p = self.cst.Rd * T / alpha
+        return self.compute_entropic_var_from_p_T(p, T)
+
+    def solve_p(self, rho, entropic_var, qd=0, qv=0, ql=0, qi=0):
+        c = self.cst
+        alpha = 1.0 / rho
+        return c.Rd / c.Cvd * self.compute_U(alpha, entropic_var) / alpha
+
+    def compute_T_from_alpha(self, alpha, entropic_var, qd=0, qv=0, ql=0,
+                             qi=0):
+        return self.compute_U(alpha, entropic_var) / self.cst.Cvd
+
+    def compute_T_from_p(self, p, entropic_var, qd=0, qv=0, ql=0, qi=0):
+        return self.compute_dHdentropic_var(p, entropic_var)
+
+    def compute_dpdentropic_var(self, alpha, entropic_var, qd=0, qv=0, ql=0,
+                                qi=0):
+        c = self.cst
+        dUds = self.compute_dUdentropic_var(alpha, entropic_var)
+        return c.Rd / c.Cvd * dUds / alpha
+
+    def compute_soundspeed(self, alpha, entropic_var, qd=0, qv=0, ql=0, qi=0):
+        p = self.solve_p(1.0 / alpha, entropic_var)
+        return (self.cst.gamma_d * p * alpha) ** 0.5
+
+    def compute_H(self, p, entropic_var, qd=0, qv=0, ql=0, qi=0):
+        c = self.cst
+        return (c.Cpd * c.Tr * (p / c.pr) ** c.kappa_d *
+                jnp.exp(entropic_var / c.Cpd))
+
+    def compute_dHdentropic_var(self, p, entropic_var, qd=0, qv=0, ql=0,
+                                qi=0):
+        return self.compute_H(p, entropic_var) / self.cst.Cpd
+
+
+@dataclasses.dataclass(frozen=True)
+class ThermoNone:
+    """No-thermodynamics marker for the layer models (SWE/TSWE), ref:
+    thermo.h:62-67. Carries only constants. The reference's remaining
+    variants (ConstantKappa_Entropy, Unapprox_Pottemp, Unapprox_Entropy,
+    thermo.h:482-674) are EMPTY stubs there — every method body is
+    commented out — so they intentionally have no counterpart here."""
+    cst: ThermoConstants = ThermoConstants()
+    moist_species_decouple_from_dynamics = True
+
+
+THERMO_REGISTRY = {
+    "none": ThermoNone,
+    "idealgaspottemp": IdealGasPottemp,
+    "idealgasentropy": IdealGasEntropy,
+    "constkappavirpottemp": ConstantKappaVirtualPottemp,
+}
+
+
+def thermo_from_string(name: str, cst: ThermoConstants = None):
+    """Analog of the PAMC_THERMO compile-time dispatch (thermo.h:662-673)."""
+    cls = THERMO_REGISTRY[name.lower()]
+    return cls(cst=cst) if cst is not None else cls()
 
