@@ -153,6 +153,18 @@ def run_idealized(cfg: dict, verbose: bool = True):
         tend = SpamTendencies(geom=geom, varset=vs, thermo=thermo, grav=tc.g)
         dens, v, w, geop = tcs.setup_testcase(tc, geom, thermo)
 
+    # diffusion coefficients from config (ref: read_model_params_file,
+    # extrudedmodel.h:5020-5078; defaults 0 = off)
+    diff_keys = ("scalar_horiz_diffusion_coeff", "scalar_vert_diffusion_coeff",
+                 "velocity_vort_horiz_diffusion_coeff",
+                 "velocity_vort_vert_diffusion_coeff",
+                 "velocity_div_horiz_diffusion_coeff",
+                 "velocity_div_vert_diffusion_coeff")
+    diff_cfg = {k: float(cfg[k]) for k in diff_keys if k in cfg}
+    if diff_cfg:
+        import dataclasses as _dc
+        tend = _dc.replace(tend, **diff_cfg)
+
     if cfg.get("hamil") == "an":
         # anelastic variant (PAMC_HAMIL=an): rho pinned to the reference
         # profile, per-rhs pressure projection, no acoustic CFL limit

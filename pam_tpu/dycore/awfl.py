@@ -72,12 +72,22 @@ class AwflDycore:
     tables: Any = None
     vert_s2c: Any = None   # (ord, ord, nens, nz+2, 1, 1) — leading [c,s]
     vert_wrl: Any = None   # (hs, hs, hs, nens, nz+2, 1, 1) — leading [i,s,c]
+    # fused Pallas flux path (TPU f32): per-level matrices flattened to
+    # (ord*ord | hs^3, nz+1) lane vectors for the L/R face candidates
+    use_pallas: bool = False
+    vert_mats_pl: Any = None
 
     # ------------------------------------------------------------------ setup
     @staticmethod
     def build(coupler: Coupler, dz, ord: int = 5, cfl: float = 0.8,
-              grav_balance: bool = False) -> "AwflDycore":
-        """dz: (nz,) or (nens, nz) static vertical spacings (numpy)."""
+              grav_balance: bool = False,
+              use_pallas: bool = None) -> "AwflDycore":
+        """dz: (nz,) or (nens, nz) static vertical spacings (numpy).
+
+        use_pallas: None = auto (TPU backend + f32 + ensemble-uniform dz);
+        the fused kernel is bit-compared against the jnp path in
+        tests/test_awfl_pallas.py.
+        """
         dz = np.asarray(dz, np.float64)
         if dz.ndim == 1:
             dz = np.broadcast_to(dz, (coupler.nens, coupler.nz))
@@ -94,9 +104,29 @@ class AwflDycore:
                             (2, 3, 4), (0, 1, 2))[:, :, :, :, None, :, None]
         assert vs2c.shape == (ord, ord, coupler.nens, 1, coupler.nz + 2, 1)
         assert vwrl.shape == (hs, hs, hs, coupler.nens, 1, coupler.nz + 2, 1)
+
+        ens_uniform = bool(np.allclose(dz, dz[:1]))
+        if use_pallas is None:
+            import jax as _jax
+            use_pallas = (coupler.dtype == jnp.float32 and ens_uniform and
+                          _jax.default_backend() == "tpu")
+        vert_mats_pl = None
+        if use_pallas:
+            assert ens_uniform, "pallas path needs ensemble-uniform dz"
+            nz = coupler.nz
+            # member-0 matrices, level axis last: (ord, ord, nz+2)
+            s2c0 = np.transpose(s2c[0], (1, 2, 0))        # (ord, ord, nz+2)
+            wrl0 = np.transpose(wrl[0], (1, 2, 3, 0))     # (hs, hs, hs, nz+2)
+            nf = nz + 1
+            mk = lambda m, lo: np.ascontiguousarray(
+                m[..., lo:lo + nf].reshape(-1, nf))
+            vert_mats_pl = tuple(
+                jnp.asarray(a, coupler.dtype) for a in
+                (mk(s2c0, 0), mk(s2c0, 1), mk(wrl0, 0), mk(wrl0, 1)))
         return AwflDycore(coupler=coupler, ord=ord, cfl=cfl,
                           grav_balance=grav_balance, tables=tables,
-                          vert_s2c=vs2c, vert_wrl=vwrl)
+                          vert_s2c=vs2c, vert_wrl=vwrl,
+                          use_pallas=use_pallas, vert_mats_pl=vert_mats_pl)
 
     @property
     def hs(self) -> int:
@@ -273,7 +303,48 @@ class AwflDycore:
         tb = self.tables
         per_lev = (self.vert_s2c, self.vert_wrl)
 
+        def direction_pallas(axis):
+            """Fused-kernel route: put the stencil axis in lanes, flatten
+            the rest into rows, call the single VMEM kernel."""
+            from ..ops import awfl_pallas as ap
+            sl = [slice(None)] * 5
+            for a in (AX_Z, AX_Y, AX_X):
+                if a != axis:
+                    sl[a] = slice(hs, -hs)
+            sl = tuple(sl)
+            dyn_d = dyn_p[sl]
+            trac_d = trac_p[sl]
+            pres_d = pres_p[sl[1:]]
+            if axis == AX_X:
+                perm, mom_q, zm, plm = None, 0, False, None
+            elif axis == AX_Y:
+                perm, mom_q, zm, plm = (0, 1, 3, 4, 2), 1, False, None
+            else:
+                perm, mom_q, zm, plm = (0, 1, 2, 4, 3), 2, True, \
+                    self.vert_mats_pl
+            if perm is not None:
+                dyn_d = jnp.transpose(dyn_d, perm)
+                trac_d = jnp.transpose(trac_d, perm)
+                pres_d = jnp.transpose(pres_d[None], perm)[0]
+            shp = dyn_d.shape  # (5, b1, b2, b3, n+ord)
+            flat = lambda a: a.reshape(a.shape[0], -1, a.shape[-1])
+            sf, tf = ap.flux_direction_fused(
+                flat(dyn_d), flat(trac_d), pres_d.reshape(-1, shp[-1]),
+                ord=self.ord, cs=_CS, mom_q_idx=mom_q, zmask=zm,
+                per_level=plm)
+            nf = shp[-1] - self.ord
+            unflat = lambda a, n0: a.reshape((n0,) + shp[1:4] + (nf,))
+            sf = unflat(sf, NUM_STATE)
+            tf = unflat(tf, cpl.num_tracers)
+            if perm is not None:
+                inv = np.argsort(perm)
+                sf = jnp.transpose(sf, inv)
+                tf = jnp.transpose(tf, inv)
+            return sf, tf
+
         def direction(axis):
+            if self.use_pallas:
+                return direction_pallas(axis)
             """Fluxes for one direction. Returns (state_flux (5, ..faces..),
             tracer_flux (ntr, ..faces..))."""
             # slices selecting interior in the *other* two directions

@@ -41,53 +41,100 @@ def weno_tables(ord: int, dtype=jnp.float64):
     return to(s2c), to(wrl), to(tv_hi), to(tv_lo), to(c2g), to(idl), float(sigma)
 
 
-def weno_coefs(u, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma):
-    """WENO-limited monomial coefficients from stencil cell averages.
+def _msum(terms):
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def weno_coefs_list(u, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma):
+    """WENO-limited monomial coefficients — fully unrolled elementwise form.
+
+    This is the TPU hot-path formulation: every tiny stencil/coefficient
+    contraction is unrolled into scalar-constant multiply-adds over the
+    batch-shaped arrays, so XLA fuses the whole limiter into a handful of
+    elementwise kernels. The earlier einsum-over-leading-axes formulation
+    materialized dozens of (ord, ...)-stacked intermediates in HBM and
+    lowered to badly-tiled dot_generals (~10x slower end to end).
 
     Args:
-      u: (ord, ...) stencils — stencil axis LEADING.
-      s2c: (ord, ord) [c, s], or batched (ord, ord, ...) with trailing batch
-        dims broadcastable to u's batch dims (variable vertical grids).
-      wrl: (hs, hs, hs) [i, s, c] or batched (hs, hs, hs, ...).
-      tv_hi_M/tv_lo_M: smoothness quadratic forms; idl/sigma: limiter tuning.
+      u: sequence of ``ord`` arrays (cell averages along the stencil).
+      s2c: (ord, ord) numpy [c, s] (constants -> folded), or a jnp array
+        with leading [c, s] dims and trailing batch dims broadcastable to
+        the u arrays (variable vertical grids).
+      wrl: (hs, hs, hs) numpy [i, s, c] or jnp with leading dims likewise.
+      tv_hi_M/tv_lo_M: numpy smoothness quadratic forms; idl/sigma: numpy
+        limiter tuning.
     Returns:
-      (ord, ...) limited coefficients, coefficient axis leading.
+      list of ``ord`` limited-coefficient arrays.
 
     Parity reference: WenoLimiter.h compute_weno_coefs incl. the
     weight-mapping step (map_weights, WenoLimiter.h:12-19).
     """
-    ord = u.shape[0]
+    import numpy as np
+    ord = len(u)
     hs = (ord + 1) // 2  # number and size of low-order sub-stencils
-    # Low-order polynomial coefficients a_lo[i, c, ...]
-    uw = jnp.stack([u[i:i + hs] for i in range(hs)], axis=0)  # (hs, hs, ...)
-    if wrl.ndim == 3:
-        a_lo = jnp.einsum('isc,is...->ic...', wrl, uw)
-    else:
-        a_lo = jnp.einsum('isc...,is...->ic...', wrl, uw)
-    # High-order coefficients a_hi[c, ...]
-    if s2c.ndim == 2:
-        a_hi = jnp.einsum('cs,s...->c...', s2c, u)
-    else:
-        a_hi = jnp.einsum('cs...,s...->c...', s2c, u)
-    # Bridge polynomial
-    pad = [(0, ord - hs)] + [(0, 0)] * (a_lo.ndim - 2)
-    a_lo_full = jnp.pad(a_lo, [(0, 0)] + pad)  # (hs, ord, ...)
-    a_br = (a_hi - jnp.einsum('i,ic...->c...', idl[:hs], a_lo_full)) / idl[hs]
-    # Smoothness indicators
-    tv_lo = jnp.einsum('ic...,cd,id...->i...', a_lo, tv_lo_M, a_lo)
-    tv_br = jnp.einsum('c...,cd,d...->...', a_br, tv_hi_M, a_br)
-    lo_avg = jnp.mean(tv_lo, axis=0)
-    tv_br = lo_avg + (tv_br - lo_avg) * sigma
-    tv = jnp.concatenate([tv_lo, tv_br[None]], axis=0)  # (hs+1, ...)
+    idl = np.asarray(idl, np.float64)
+    # Low-order polynomial coefficients a_lo[i][c]
+    a_lo = [[_msum([wrl[i, s, c] * u[i + s] for s in range(hs)])
+             for c in range(hs)] for i in range(hs)]
+    # High-order coefficients a_hi[c]
+    a_hi = [_msum([s2c[c, s] * u[s] for s in range(ord)])
+            for c in range(ord)]
+    # Bridge polynomial: (a_hi - sum_i idl[i]*a_lo[i]) / idl[hs]
+    inv_idl_hi = 1.0 / float(idl[hs])
+    a_br = []
+    for c in range(ord):
+        acc = a_hi[c]
+        if c < hs:
+            acc = acc - _msum([float(idl[i]) * a_lo[i][c] for i in range(hs)])
+        a_br.append(acc * inv_idl_hi)
+
+    def quadform(a, M):
+        n = len(a)
+        terms = []
+        for ci in range(n):
+            if M[ci, ci] != 0.0:
+                terms.append(float(M[ci, ci]) * a[ci] * a[ci])
+            for d in range(ci + 1, n):
+                if M[ci, d] + M[d, ci] != 0.0:
+                    terms.append(float(M[ci, d] + M[d, ci]) * a[ci] * a[d])
+        return _msum(terms)
+
+    import numpy as _np
+    tv_lo = [quadform(a_lo[i], _np.asarray(tv_lo_M)) for i in range(hs)]
+    tv_br = quadform(a_br, _np.asarray(tv_hi_M))
+    lo_avg = _msum(tv_lo) * (1.0 / hs)
+    tv_br = lo_avg + (tv_br - lo_avg) * float(sigma)
+    tv = tv_lo + [tv_br]
     # Nonlinear weights: idl/(tv^2+eps) -> convexify -> map -> convexify
-    idl_c = idl.reshape((hs + 1,) + (1,) * (tv.ndim - 1))
-    w = idl_c / (tv * tv + _EPS)
-    w = w / (jnp.sum(w, axis=0, keepdims=True) + _EPS)
-    w = w * (idl_c + idl_c * idl_c - 3.0 * idl_c * w + w * w) / \
-        (idl_c * idl_c + w * (1.0 - 2.0 * idl_c))
-    w = w / (jnp.sum(w, axis=0, keepdims=True) + _EPS)
+    w = [float(idl[i]) / (tv[i] * tv[i] + _EPS) for i in range(hs + 1)]
+    wsum = _msum(w) + _EPS
+    w = [wi / wsum for wi in w]
+    w = [wi * (float(idl[i]) + float(idl[i]) ** 2 - 3.0 * float(idl[i]) * wi +
+               wi * wi) /
+         (float(idl[i]) ** 2 + wi * (1.0 - 2.0 * float(idl[i])))
+         for i, wi in enumerate(w)]
+    wsum = _msum(w) + _EPS
+    w = [wi / wsum for wi in w]
     # Weighted combination of candidates
-    return w[hs] * a_br + jnp.einsum('i...,ic...->c...', w[:hs], a_lo_full)
+    out = []
+    for c in range(ord):
+        acc = w[hs] * a_br[c]
+        if c < hs:
+            acc = acc + _msum([w[i] * a_lo[i][c] for i in range(hs)])
+        out.append(acc)
+    return out
+
+
+def weno_coefs(u, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma):
+    """Stacked-array wrapper over :func:`weno_coefs_list`: u has the stencil
+    axis LEADING; returns (ord, ...) with the coefficient axis leading."""
+    ord = u.shape[0]
+    coefs = weno_coefs_list([u[s] for s in range(ord)], s2c, wrl,
+                            tv_hi_M, tv_lo_M, idl, sigma)
+    return jnp.stack(coefs, axis=0)
 
 
 def windows(a, ord: int, axis: int):
@@ -103,31 +150,27 @@ def windows(a, ord: int, axis: int):
     return jnp.stack(parts, axis=0)
 
 
-def _face_windows(u_halo, ord, axis):
-    """Stencil windows for the two one-sided candidates at each face.
-
-    u_halo has hs=(ord+1)//2 halo cells per side -> n+2 windows for n cells,
-    n+1 faces. Window f is the stencil centered on the left cell of face f;
-    window f+1 on the right cell (cf. Dycore.h:346-351 stencil indexing).
-    Returns (stenL, stenR), each (ord, ..., n+1, ...).
-    """
-    w = windows(u_halo, ord, axis)
-    w_axis = axis + 1 if axis >= 0 else axis
-    nfaces = w.shape[w_axis] - 1
-    sl = [slice(None)] * w.ndim
-
-    def take(off):
-        s = list(sl)
-        s[w_axis] = slice(off, off + nfaces)
-        return w[tuple(s)]
-
-    return take(0), take(1)
+def _face_shift_views(u_halo, ord, axis):
+    """The ord+1 shifted views of u_halo needed for both one-sided face
+    candidates: view s has length nfaces along ``axis``. stenL = views[0:ord]
+    (stencil of the left cell of each face), stenR = views[1:ord+1]
+    (cf. Dycore.h:346-351 stencil indexing). Plain slices — no stacking —
+    so XLA fuses them into the consumers."""
+    nfaces = u_halo.shape[axis] - ord
+    views = []
+    for s in range(ord + 1):
+        sl = [slice(None)] * u_halo.ndim
+        sl[axis] = slice(s, s + nfaces)
+        views.append(u_halo[tuple(sl)])
+    return views
 
 
-def _eval_edge(a, g):
-    """Evaluate monomial coefficients (ord, ...) at an edge via c2g column
-    g (ord,)."""
-    return jnp.einsum('c,c...->...', g, a)
+def _eval_edge_list(a, g):
+    """Evaluate monomial coefficient list at an edge via c2g column g
+    (numpy, (ord,))."""
+    import numpy as np
+    g = np.asarray(g)
+    return _msum([float(g[c]) * a[c] for c in range(len(a))])
 
 
 def reconstruct_faces_both(u_halo, axis, tables, per_level=None,
@@ -145,22 +188,23 @@ def reconstruct_faces_both(u_halo, axis, tables, per_level=None,
     """
     s2c, wrl, tv_hi_M, tv_lo_M, c2g, idl, sigma = tables
     ord = s2c.shape[-1] if s2c.ndim == 2 else s2c.shape[0]
-    stenL, stenR = _face_windows(u_halo, ord, axis)
+    views = _face_shift_views(u_halo, ord, axis)
+    stenL, stenR = views[:ord], views[1:]
     if per_level is None:
         s2cL = s2cR = s2c
         wrlL = wrlR = wrl
     else:
         s2c_lev, wrl_lev = per_level
-        nfaces = stenL.shape[axis + 1]
+        nfaces = stenL[0].shape[axis]
         lev = per_level_axis
         s2cL = jnp.take(s2c_lev, jnp.arange(0, nfaces), axis=lev)
         s2cR = jnp.take(s2c_lev, jnp.arange(1, nfaces + 1), axis=lev)
         wrlL = jnp.take(wrl_lev, jnp.arange(0, nfaces), axis=lev)
         wrlR = jnp.take(wrl_lev, jnp.arange(1, nfaces + 1), axis=lev)
-    aL = weno_coefs(stenL, s2cL, wrlL, tv_hi_M, tv_lo_M, idl, sigma)
-    aR = weno_coefs(stenR, s2cR, wrlR, tv_hi_M, tv_lo_M, idl, sigma)
-    valL = _eval_edge(aL, c2g[:, 1])
-    valR = _eval_edge(aR, c2g[:, 0])
+    aL = weno_coefs_list(stenL, s2cL, wrlL, tv_hi_M, tv_lo_M, idl, sigma)
+    aR = weno_coefs_list(stenR, s2cR, wrlR, tv_hi_M, tv_lo_M, idl, sigma)
+    valL = _eval_edge_list(aL, c2g[:, 1])
+    valR = _eval_edge_list(aR, c2g[:, 0])
     return valL, valR
 
 
@@ -180,20 +224,21 @@ def reconstruct_faces_upwind(u_halo, axis, tables, upw, per_level=None,
     """
     s2c, wrl, tv_hi_M, tv_lo_M, c2g, idl, sigma = tables
     ord = s2c.shape[-1] if s2c.ndim == 2 else s2c.shape[0]
-    stenL, stenR = _face_windows(u_halo, ord, axis)
+    views = _face_shift_views(u_halo, ord, axis)
+    stenL, stenR = views[:ord], views[1:]
     if per_level is None:
-        sten = jnp.where(upw[None], stenL, stenR)
-        a = weno_coefs(sten, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma)
-        return jnp.where(upw, _eval_edge(a, c2g[:, 1]),
-                         _eval_edge(a, c2g[:, 0]))
+        sten = [jnp.where(upw, l, r) for l, r in zip(stenL, stenR)]
+        a = weno_coefs_list(sten, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma)
+        return jnp.where(upw, _eval_edge_list(a, c2g[:, 1]),
+                         _eval_edge_list(a, c2g[:, 0]))
     s2c_lev, wrl_lev = per_level
-    nfaces = stenL.shape[axis + 1]
+    nfaces = stenL[0].shape[axis]
     lev = per_level_axis
     s2cL = jnp.take(s2c_lev, jnp.arange(0, nfaces), axis=lev)
     s2cR = jnp.take(s2c_lev, jnp.arange(1, nfaces + 1), axis=lev)
     wrlL = jnp.take(wrl_lev, jnp.arange(0, nfaces), axis=lev)
     wrlR = jnp.take(wrl_lev, jnp.arange(1, nfaces + 1), axis=lev)
-    aL = weno_coefs(stenL, s2cL, wrlL, tv_hi_M, tv_lo_M, idl, sigma)
-    aR = weno_coefs(stenR, s2cR, wrlR, tv_hi_M, tv_lo_M, idl, sigma)
-    return jnp.where(upw, _eval_edge(aL, c2g[:, 1]),
-                     _eval_edge(aR, c2g[:, 0]))
+    aL = weno_coefs_list(stenL, s2cL, wrlL, tv_hi_M, tv_lo_M, idl, sigma)
+    aR = weno_coefs_list(stenR, s2cR, wrlR, tv_hi_M, tv_lo_M, idl, sigma)
+    return jnp.where(upw, _eval_edge_list(aL, c2g[:, 1]),
+                     _eval_edge_list(aR, c2g[:, 0]))

@@ -1,0 +1,53 @@
+"""Built-in SPAM diagnostics.
+
+Parity reference: dynamics/spam/src/models/extrudedmodel.h:21-189
+(TotalDensityDiagnostic, Dens0Diagnostic, QHZDiagnostic) and the
+layer-model QXYDiagnostic. Each is a pure function of the prognostic state
+returning a named array; `compute_diagnostics` evaluates a selection for
+output (analog of the Diagnostic list built per testcase,
+add_diagnostics + io.outputDiagnostics).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import operators as op
+from .operators import mirror_layer
+
+
+def total_density(tend, dens, v=None, w=None):
+    """Total (moist) density as a twisted n-form (extrudedmodel.h:21-54)."""
+    return tend.varset.get_total_density(dens)
+
+
+def dens0(tend, dens, v=None, w=None):
+    """Concentration 0-forms dens / cell area ("densl",
+    extrudedmodel.h:56-91)."""
+    return op.Hn1bar(dens, tend.geom)
+
+
+def qhz(tend, dens, v, w):
+    """Relative PV at dual vertices ("QHZl", extrudedmodel.h:93-131) —
+    reuses the dycore's PVPE functional (q_and_f)."""
+    return tend.q_and_f(dens, v, w)
+
+
+def relative_vorticity(tend, dens, v, w):
+    """Raw circulation form zeta = D1(v, w) (interior vertices)."""
+    w_pad = mirror_layer(w, 1)
+    return op.D1_ext(v, w_pad)
+
+
+DIAGNOSTICS = {
+    "total_dens": total_density,
+    "densl": dens0,
+    "QHZl": qhz,
+    "zeta": relative_vorticity,
+}
+
+
+def compute_diagnostics(tend, dens, v, w, names=None):
+    """Evaluate the named diagnostics; default = all built-ins."""
+    names = names if names is not None else list(DIAGNOSTICS)
+    return {n: DIAGNOSTICS[n](tend, dens, v, w) for n in names}

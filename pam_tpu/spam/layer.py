@@ -42,11 +42,10 @@ def _edge_recon(field, tables, axis):
     s2c, wrl, tvh, tvl, c2g, idl, sigma = tables
     ord = s2c.shape[-1]
     hs = (ord - 1) // 2
-    sl = [jnp.roll(field, hs - s, axis=axis) for s in range(ord)]
-    sten = jnp.stack(sl, axis=0)
-    aw = weno.weno_coefs(sten, s2c, wrl, tvh, tvl, idl, sigma)
-    left = jnp.einsum('c,c...->...', c2g[:, 0], aw)
-    right = jnp.einsum('c,c...->...', c2g[:, 1], aw)
+    sten = [jnp.roll(field, hs - s, axis=axis) for s in range(ord)]
+    aw = weno.weno_coefs_list(sten, s2c, wrl, tvh, tvl, idl, sigma)
+    left = weno._eval_edge_list(aw, c2g[:, 0])
+    right = weno._eval_edge_list(aw, c2g[:, 1])
     return left, right
 
 

@@ -33,12 +33,11 @@ def _edge_recon_x(field, tables):
     s2c, wrl, tvh, tvl, c2g, idl, sigma = tables
     ord = s2c.shape[-1]
     hs = (ord - 1) // 2
-    # periodic x windows: stencil for cell i = cells i-hs..i+hs
-    sl = [jnp.roll(field, hs - s, axis=-1) for s in range(ord)]
-    sten = jnp.stack(sl, axis=0)  # (ord, ..., nx) stencil axis leading
-    aw = weno.weno_coefs(sten, s2c, wrl, tvh, tvl, idl, sigma)
-    left = jnp.einsum('c,c...->...', c2g[:, 0], aw)
-    right = jnp.einsum('c,c...->...', c2g[:, 1], aw)
+    # periodic x stencils: stencil for cell i = cells i-hs..i+hs
+    sten = [jnp.roll(field, hs - s, axis=-1) for s in range(ord)]
+    aw = weno.weno_coefs_list(sten, s2c, wrl, tvh, tvl, idl, sigma)
+    left = weno._eval_edge_list(aw, c2g[:, 0])
+    right = weno._eval_edge_list(aw, c2g[:, 1])
     return left, right
 
 
@@ -47,11 +46,15 @@ def _edge_recon_z(field_padded, tables, nlev):
     array (pad hs on each side): returns (bottom_edge, top_edge) per cell."""
     s2c, wrl, tvh, tvl, c2g, idl, sigma = tables
     ord = s2c.shape[-1]
-    sten = weno.windows(field_padded, ord, AXZ)  # (ord, ..., nlev(+x), nx)
-    sten = sten[..., :nlev, :]
-    aw = weno.weno_coefs(sten, s2c, wrl, tvh, tvl, idl, sigma)
-    bottom = jnp.einsum('c,c...->...', c2g[:, 0], aw)
-    top = jnp.einsum('c,c...->...', c2g[:, 1], aw)
+    sl = [slice(None)] * field_padded.ndim
+    sten = []
+    for s in range(ord):
+        ss = list(sl)
+        ss[AXZ] = slice(s, s + nlev)
+        sten.append(field_padded[tuple(ss)])
+    aw = weno.weno_coefs_list(sten, s2c, wrl, tvh, tvl, idl, sigma)
+    bottom = weno._eval_edge_list(aw, c2g[:, 0])
+    top = weno._eval_edge_list(aw, c2g[:, 1])
     return bottom, top
 
 
@@ -78,6 +81,14 @@ class SpamTendencies:
     grav: float = 9.80616
     ord: int = 5
     force_refstate_hydrostatic_balance: bool = False
+    # diffusion coefficients (extrudedmodel.h:207-212; all default 0 = off,
+    # matching read_model_params_file defaults, extrudedmodel.h:5020-5078)
+    scalar_horiz_diffusion_coeff: float = 0.0
+    scalar_vert_diffusion_coeff: float = 0.0
+    velocity_vort_horiz_diffusion_coeff: float = 0.0
+    velocity_vort_vert_diffusion_coeff: float = 0.0
+    velocity_div_horiz_diffusion_coeff: float = 0.0
+    velocity_div_vert_diffusion_coeff: float = 0.0
     # reference state columns (None -> zeros); shapes (ndens, nens, nz[,+1])
     refdens: Any = None          # dual layers
     ref_q_pi: Any = None         # (ndens, nens, nz)   concentrations at v-levels
@@ -283,10 +294,31 @@ class SpamTendencies:
                                      qhzvertrecon, B, F, FW)
 
     def compute_rhs(self, dens, v, w, geop, dt):
-        """fd + symplectic (model.h Tendencies::compute_rhs:275-284).
-        Returns (Fdens, Fv, Fw) with d(dens,v,w)/dt = -(Fdens, Fv, Fw)."""
+        """fd + symplectic + optional diffusion (model.h
+        Tendencies::compute_rhs:275-284, diffusion hooks
+        extrudedmodel.h:2439-2484). Returns (Fdens, Fv, Fw) with
+        d(dens,v,w)/dt = -(Fdens, Fv, Fw)."""
         F, FW, K, B = self.functional_derivatives(dens, v, w, geop)
-        return self.apply_symplectic(dens, v, w, F, FW, B, dt)
+        denstend, vtend, wtend = self.apply_symplectic(dens, v, w, F, FW, B,
+                                                       dt)
+        if (self.scalar_horiz_diffusion_coeff > 0 or
+                self.scalar_vert_diffusion_coeff > 0):
+            from . import diffusion as diff
+            denstend = diff.scalar_diffusion(
+                self, dens, denstend, self.scalar_horiz_diffusion_coeff,
+                self.scalar_vert_diffusion_coeff)
+        if (self.velocity_vort_horiz_diffusion_coeff > 0 or
+                self.velocity_vort_vert_diffusion_coeff > 0 or
+                self.velocity_div_horiz_diffusion_coeff > 0 or
+                self.velocity_div_vert_diffusion_coeff > 0):
+            from . import diffusion as diff
+            vtend, wtend = diff.velocity_diffusion(
+                self, v, w, vtend, wtend,
+                self.velocity_vort_horiz_diffusion_coeff,
+                self.velocity_vort_vert_diffusion_coeff,
+                self.velocity_div_horiz_diffusion_coeff,
+                self.velocity_div_vert_diffusion_coeff)
+        return denstend, vtend, wtend
 
     # ------------------------------------------------------------------
     def energy(self, dens, v, w, geop):

@@ -1,0 +1,107 @@
+"""Tests for checkpoint/resume, observability, averaging and vertical-grid
+utilities (SURVEY.md §5 auxiliary subsystems)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from pam_tpu.core import Coupler
+from pam_tpu.utils import checkpoint as ckpt
+from pam_tpu.utils import observe
+from pam_tpu.utils import vertical_levels as vl
+from pam_tpu.modules import averaging
+
+
+def _state(nens=2, nz=4, ny=1, nx=6):
+    cpl = Coupler(nz=nz, ny=ny, nx=nx, nens=nens, xlen=1000., ylen=1000.,
+                  dtype=jnp.float64)
+    cpl = cpl.add_tracer("water_vapor")
+    state = cpl.allocate_state(np.linspace(0., 1000., nz + 1))
+    state["temp"] = state["temp"] + 300.0
+    return cpl, state
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cpl, state = _state()
+    p = os.path.join(tmp_path, "ck")
+    ckpt.save_checkpoint(p, state, etime=123.5, meta={"note": "x"})
+    restored, etime, meta = ckpt.load_checkpoint(p)
+    assert etime == 123.5
+    assert meta["note"] == "x"
+    assert set(restored) == set(state)
+    for k in state:
+        np.testing.assert_array_equal(np.asarray(restored[k]),
+                                      np.asarray(state[k]))
+
+
+def test_module_timers_and_dirty_tracking():
+    cpl, state = _state()
+    timers = observe.ModuleTimers(trace=True)
+
+    def warm(s):
+        out = dict(s)
+        out["temp"] = s["temp"] + 1.0
+        return out
+
+    out = timers.run_module("warm", warm, state)
+    assert timers.counts["warm"] == 1
+    assert timers.times["warm"] > 0
+    name, dirty = timers.trace_log[0]
+    assert name == "warm" and dirty == ("temp",)
+    rep = timers.report()
+    assert "warm" in rep
+
+
+def test_validate_state():
+    cpl, state = _state()
+    assert observe.validate_state(state) == {}
+    bad = dict(state)
+    bad["temp"] = bad["temp"].at[0, 0, 0, 0].set(jnp.nan)
+    bad["water_vapor"] = bad["water_vapor"].at[0].set(-1.0)
+    rep = observe.validate_state(bad, positive=("water_vapor",))
+    assert rep["temp"] == ["nan"]
+    assert rep["water_vapor"] == ["negative"]
+
+
+def test_horizontal_and_time_average():
+    cpl, state = _state()
+    state["temp"] = state["temp"] + jnp.arange(6.0)[None, None, None, :]
+    out = averaging.horizontal_average(cpl, state, ["temp"])
+    got = np.asarray(out["temp_horizontal_average"])
+    assert got.shape == (2, 4)
+    np.testing.assert_allclose(got, 302.5)
+    # running time average over a full window reproduces a constant signal
+    s = dict(state)
+    for _ in range(10):
+        s = averaging.time_average(cpl, s, ["temp"], dt=1.0, window=10.0)
+    np.testing.assert_allclose(np.asarray(s["temp_time_average"]),
+                               np.asarray(state["temp"]), rtol=1e-12)
+    s = averaging.reset_time_average(s, ["temp"])
+    assert float(jnp.abs(s["temp_time_average"]).max()) == 0.0
+
+
+def test_vertical_levels():
+    for fn in ("equal", "exp", "tanh"):
+        zint = vl.generate(fn, nlev=32, z0=0.0, ztop=5000.0)
+        assert zint.shape == (33,)
+        assert zint[0] == 0.0
+        np.testing.assert_allclose(zint[-1], 5000.0)
+        assert (np.diff(zint) > 0).all()
+    # exp: top dz ~ base x bottom dz
+    zint = vl.exp_levels(64, 0.0, 10000.0, base=10.0)
+    dz = np.diff(zint)
+    assert 8.0 < dz[-1] / dz[0] < 12.0
+    # tanh concentrates near the surface
+    zint = vl.tanh_levels(64, 0.0, 10000.0)
+    dz = np.diff(zint)
+    assert dz[0] < dz[-1]
+
+
+def test_vcoords_netcdf_roundtrip(tmp_path):
+    path = os.path.join(tmp_path, "vcoords.nc")
+    zint = vl.generate("tanh", nlev=16, ztop=2000.0)
+    vl.save_netcdf(path, zint)
+    from pam_tpu.driver.standalone import build_zint
+    got = build_zint({"vcoords": path})
+    np.testing.assert_allclose(got, zint)
