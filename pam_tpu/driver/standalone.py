@@ -165,13 +165,13 @@ def run_idealized(cfg: dict, verbose: bool = True):
         import dataclasses as _dc
         tend = _dc.replace(tend, **diff_cfg)
 
-    if cfg.get("hamil") == "an":
-        # anelastic variant (PAMC_HAMIL=an): rho pinned to the reference
-        # profile, per-rhs pressure projection, no acoustic CFL limit
+    if cfg.get("hamil") in ("an", "man"):
+        # anelastic variants (PAMC_HAMIL=an / man): rho pinned to the
+        # reference profile, per-rhs pressure projection, no acoustic CFL
         from ..spam import si as si_mod
         from ..spam.anelastic import (AnelasticPressureSolver,
-                                      AnelasticTendencies, project_initial)
-        import dataclasses as dc
+                                      AnelasticTendencies, ManTendencies,
+                                      project_initial)
         if not hasattr(tc, "refrho_f"):
             raise ValueError(
                 f"init_data {name!r} has no reference state for hamil=an")
@@ -182,20 +182,28 @@ def run_idealized(cfg: dict, verbose: bool = True):
         psolver = AnelasticPressureSolver.build(geom, ref["rho_pi"],
                                                 ref["rho_di"])
         J = jnp.asarray
-        tend = AnelasticTendencies(
+        cls = ManTendencies if cfg["hamil"] == "man" else AnelasticTendencies
+        if cfg["hamil"] == "man" and not moist:
+            raise ValueError("hamil=man needs a moist init_data")
+        tend = cls(
             geom=geom, varset=vs, thermo=thermo, grav=tc.g,
             force_refstate_hydrostatic_balance=True,
             refdens=J(ref["dens"]), ref_rho_pi=J(ref["rho_pi"]),
             ref_q_pi=J(ref["q_pi"]), ref_rho_di=J(ref["rho_di"]),
             ref_q_di=J(ref["q_di"]), ref_B=J(ref["B"]), psolver=psolver)
-        # anelastic IC: rho = refrho (extrudedmodel.h:5344-5347)
+        # anelastic IC: rho = refrho (extrudedmodel.h:5344-5347; MAN:
+        # MoistEulerTestCase rho_f -> refrho_f under PAMC_MAN, :5550-5552)
         dens_rho = J(np.broadcast_to(
             np.asarray(ref["dens"][0])[:, :, None],
             (nens, nz, nx)).copy())
         dens_S = J(tcs.project_n1form(
             lambda x, z: tc.refrho_f(z, thermo) *
             tc.entropicvar_f(x, z, thermo), geom))
-        dens = jnp.stack([dens_rho, dens_S])
+        rows = [dens_rho, dens_S]
+        if moist:
+            rows.append(J(tcs.project_n1form(
+                lambda x, z: tc.rhov_f(x, z, thermo), geom)))
+        dens = jnp.stack(rows)
         v, w = project_initial(psolver, v, w)
 
     tstype = cfg.get("tstype", "ssprk3")

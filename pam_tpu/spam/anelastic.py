@@ -171,6 +171,41 @@ class AnelasticTendencies(SpamTendencies):
         return fd, fv - dv, fw - dw
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class ManTendencies(AnelasticTendencies):
+    """Moist anelastic (PAMC_MAN) variant.
+
+    Parity reference: Hamiltonian_MAN_Hs (hamiltonians/anelastic.h:163-340)
+    + VS_MAN (variableset.h:84-106, 1196-1335). dens layout here stays
+    [rho, S, tracers...] with rho pinned to the reference profile (the
+    reference stores rho last; same bookkeeping). The reference pressure
+    includes the reference vapor (anelastic.h:214-219); chemical-potential
+    terms enter B_mass (anelastic.h:262-268; ConstantKappa decouples the
+    moist species so no active tracer B rows)."""
+
+    def functional_derivatives(self, dens, v, w, geop):
+        g, vs, th = self.geom, self.varset, self.thermo
+        F, FW, K, _ = SpamTendencies.functional_derivatives(self, dens, v, w,
+                                                            geop)
+        refrho = jnp.asarray(self.ref_rho_pi, dens.dtype)[:, :, None]
+        refs = jnp.asarray(self.ref_q_pi[vs.dens_id_entr],
+                           dens.dtype)[:, :, None]
+        refqv = jnp.asarray(self.ref_q_pi[vs.dens_id_vap],
+                            dens.dtype)[:, :, None]
+        refp = th.solve_p(refrho, refs, 1.0 - refqv, refqv, 0.0, 0.0)
+        sv = vs.get_entropic_var(dens)
+        qd, qv, ql, qi = vs.moist_qs(dens)
+        H = th.compute_H(refp, sv, qd, qv, ql, qi)
+        gexner = th.compute_dHdentropic_var(refp, sv, qd, qv, ql, qi)
+        mu_d, mu_v, mu_l, mu_i = th.compute_dHdq(refp, sv, qd, qv, ql, qi)
+        geop0 = op.Hn1bar(geop, g)
+        B_mass = (geop0 + H - sv * gexner +
+                  qv * (mu_d - mu_v) + ql * (mu_d - mu_l) +
+                  qi * (mu_d - mu_i) + op.Hn1bar(K, g))
+        B_entr = jnp.broadcast_to(gexner, B_mass.shape)
+        return F, FW, K, jnp.stack([B_mass, B_entr])
+
+
 def project_initial(psolver, v, w):
     """project_to_anelastic on the initial state (extrudedmodel.h:2489-2494).
     """

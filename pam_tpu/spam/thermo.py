@@ -115,6 +115,11 @@ class IdealGasPottemp:
         c = self.cst
         return c.Cpd * (p / c.pr) ** c.kappa_d
 
+    def compute_dHdq(self, p, entropic_var, qd=0, qv=0, ql=0, qi=0):
+        """Chemical potentials (mu_d, mu_v, mu_l, mu_i); zero for the dry
+        ideal gas (thermo.h:127-145)."""
+        return 0.0, 0.0, 0.0, 0.0
+
 
 @dataclasses.dataclass(frozen=True)
 class ConstantKappaVirtualPottemp:
@@ -208,6 +213,16 @@ class ConstantKappaVirtualPottemp:
         c = self.cst
         return c.Cpd * (p / c.pr) ** c.kappa_d
 
+    def compute_dHdq(self, p, entropic_var, qd=0.0, qv=0.0, ql=0.0, qi=0.0):
+        """Chemical potentials (mu_d, mu_v, mu_l, mu_i)
+        (thermo.h:406-424)."""
+        c = self.cst
+        mu_d = -c.Cpd * c.Tr + c.Rd * c.Tr
+        mu_v = -c.Cpd * c.Rv / c.Rd * c.Tr + c.Lvr + c.Lfr
+        mu_l = c.Lfr
+        mu_i = 0.0
+        return mu_d, mu_v, mu_l, mu_i
+
 
 @dataclasses.dataclass(frozen=True)
 class IdealGasEntropy:
@@ -276,6 +291,9 @@ class IdealGasEntropy:
     def compute_dHdentropic_var(self, p, entropic_var, qd=0, qv=0, ql=0,
                                 qi=0):
         return self.compute_H(p, entropic_var) / self.cst.Cpd
+
+    def compute_dHdq(self, p, entropic_var, qd=0, qv=0, ql=0, qi=0):
+        return 0.0, 0.0, 0.0, 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -121,6 +121,19 @@ def test_thermo_registry():
         thermo_from_string("unapproxpottemp")  # empty stub in reference
 
 
+def test_moist_anelastic_man():
+    """MAN (moist anelastic) via the driver surface: conserves mass/energy,
+    keeps the anelastic constraint (ref: Hamiltonian_MAN_Hs,
+    anelastic.h:163-340)."""
+    from pam_tpu.driver.standalone import run_idealized
+    cfg = dict(init_data="moistrisingbubble", crm_nx=12, crm_nz=12,
+               sim_time=0.5, idealized=True, hamil="man", dtcrm=0.05)
+    dens, v, w = run_idealized(cfg, verbose=False)
+    assert np.isfinite(np.asarray(dens)).all()
+    assert dens.shape[0] == 3  # rho, S, water_vapor
+    assert float(jnp.max(dens[2])) > 0.0
+
+
 def test_bickley_jet_runs():
     from pam_tpu.spam.layer import LayerModel, BickleyJet, setup_double_vortex
     tc = BickleyJet()
