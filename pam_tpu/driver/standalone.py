@@ -247,13 +247,25 @@ def run_idealized(cfg: dict, verbose: bool = True):
         step = jax.jit(lambda d, vv, ww: stepper(rhs, (d, vv, ww), dt))
     stat_freq = cfg.get("stat_freq", cfg["sim_time"] / 10)
     stats_every = max(1, int(stat_freq / dt))
+    stats_writer = None
+    if cfg.get("out_prefix"):
+        from ..io.output import StatsWriter
+        st = tend.statistics(dens, v, w, geop)
+        stats_writer = StatsWriter(st, nens, cfg["out_prefix"])
+        stats_writer.write(st, 0.0)
     t0 = time.time()
     for n in range(nsteps):
         dens, v, w = step(dens, v, w)
-        if verbose and (n + 1) % stats_every == 0:
+        if (n + 1) % stats_every == 0:
             st = tend.statistics(dens, v, w, geop)
-            print(f"step {n+1} t={dt*(n+1):9.2f}s  E={float(st['E'][0]):.8e} "
-                  f"mass={float(st['densstat'][0, 0]):.8e}", flush=True)
+            if stats_writer is not None:
+                stats_writer.write(st, dt * (n + 1))
+            if verbose:
+                print(f"step {n+1} t={dt*(n+1):9.2f}s  "
+                      f"E={float(st['E'][0]):.8e} "
+                      f"mass={float(st['densstat'][0, 0]):.8e}", flush=True)
+    if stats_writer is not None:
+        stats_writer.close()
     if verbose:
         print(f"Run Time: {time.time() - t0}")
     return dens, v, w

@@ -202,44 +202,31 @@ class AwflDycore:
         """
         cpl, c = self.coupler, self.coupler.const
         hs = self.hs
+        ntr = tracers.shape[0]
         grav, gamma, C0 = c.grav, c.gamma_d, c.C0
 
-        def pad_xy(a):
-            a = _pad_periodic(a, AX_X, hs)
-            if not cpl.sim2d:
-                a = _pad_periodic(a, AX_Y, hs)
-            else:
-                pw = [(0, 0)] * a.ndim
-                pw[AX_Y] = (hs, hs)
-                a = jnp.pad(a, pw, mode='edge')
-            return a
+        # one stacked array -> single periodic-x (and y) pad for all fields
+        allf = jnp.concatenate([dyn, tracers, pressure[None]], axis=0)
+        allf = _pad_periodic(allf, AX_X, hs)
+        if not cpl.sim2d:
+            allf = _pad_periodic(allf, AX_Y, hs)
+        else:
+            pw = [(0, 0)] * allf.ndim
+            pw[AX_Y] = (hs, hs)
+            allf = jnp.pad(allf, pw, mode='edge')
 
-        dyn = pad_xy(dyn)
-        tracers = pad_xy(tracers)
-        pressure = pad_xy(pressure[None])[0]
+        rho, th = allf[0], allf[4]
+        pressure = allf[-1]
 
-        # vertical halos
-        rho, u, v, w, th = dyn
-        nz = cpl.nz
+        # vertical halo blocks (nfields, nens, ny, hs, nx), assembled once:
+        # u/v/theta/tracers: zero-gradient; w: zero (rigid lid/ground,
+        # ref: Dycore.h:662-677); rho: hydrostatic extrapolation
+        # (ref: Dycore.h:682-709); pressure: edge copy (or halo rho*theta
+        # under grav_balance, Dycore.h:691-693,705-707)
+        edge_b = jnp.broadcast_to(allf[:, :, :, :1],
+                                  allf.shape[:3] + (hs,) + allf.shape[4:])
+        edge_t = jnp.broadcast_to(allf[:, :, :, -1:], edge_b.shape)
 
-        # bottom/top for u, v, theta: zero-gradient; w: zero (rigid lid/ground)
-        # (ref: Dycore.h:662-677); z is axis 2 of (nens, ny, nz, nx)
-        def zpad_field(a, bottom, top):
-            return jnp.concatenate([bottom, a, top], axis=2)
-
-        bot = lambda a: jnp.repeat(a[:, :, :1], hs, axis=2)
-        top = lambda a: jnp.repeat(a[:, :, -1:], hs, axis=2)
-        u_p = zpad_field(u, bot(u), top(u))
-        v_p = zpad_field(v, bot(v), top(v))
-        th_p = zpad_field(th, bot(th), top(th))
-        w_p = zpad_field(w, jnp.zeros_like(bot(w)), jnp.zeros_like(top(w)))
-        tr_bot = jnp.repeat(tracers[:, :, :, :1], hs, axis=3)
-        tr_top = jnp.repeat(tracers[:, :, :, -1:], hs, axis=3)
-        tracers = jnp.concatenate([tr_bot, tracers, tr_top], axis=3)
-
-        # density: hydrostatic extrapolation using boundary rho/theta
-        # (ref: Dycore.h:682-709); dz0 = dz of the boundary cell
-        kk = jnp.arange(1, hs + 1, dtype=rho.dtype)
         rho0_b, th0_b = rho[:, :, :1], th[:, :, :1]
         rho0_t, th0_t = rho[:, :, -1:], th[:, :, -1:]
         dz_b = dz[:, None, :1, None]   # (nens,1,1,1)
@@ -247,31 +234,29 @@ class AwflDycore:
         gm1 = gamma - 1.0
 
         def hydro_halo(rho0, th0, dzb, sign):
-            # rho_halo(kk) = (rho0^(g-1) + sign*g*(g-1)*dz0*kk/(gamma*C0*th0^g))^(1/(g-1))
+            # rho_halo(k) = (rho0^(g-1) + sign*g*(g-1)*dz0*k/(gamma*C0*th0^g))
+            #               ^(1/(g-1)); k ordered nearest-first
             base = rho0 ** gm1
             fac = grav * gm1 * dzb / (gamma * C0 * th0 ** gamma)
-            # kk ordered nearest-first; bottom halo must be ordered by z
-            halos = [ (base + sign * fac * k) ** (1.0 / gm1) for k in
-                      np.arange(1, hs + 1) ]
-            return halos
+            return [(base + sign * fac * k) ** (1.0 / gm1)
+                    for k in np.arange(1, hs + 1)]
 
-        halos_b = hydro_halo(rho0_b, th0_b, dz_b, +1.0)   # below ground: denser
+        halos_b = hydro_halo(rho0_b, th0_b, dz_b, +1.0)  # below ground: denser
         halos_t = hydro_halo(rho0_t, th0_t, dz_t, -1.0)
         rho_bot = jnp.concatenate(list(reversed(halos_b)), axis=2)
         rho_top = jnp.concatenate(halos_t, axis=2)
-        rho_p = jnp.concatenate([rho_bot, rho, rho_top], axis=2)
 
+        zeros_w = jnp.zeros_like(edge_b[0])
+        bot = list(edge_b)
+        top = list(edge_t)
+        bot[0], top[0] = rho_bot, rho_top
+        bot[3], top[3] = zeros_w, zeros_w
         if self.grav_balance:
-            # halo pressure from halo rho*theta (ref: Dycore.h:691-693,705-707)
-            p_bot = C0 * (rho_bot * th_p[:, :, :hs]) ** gamma
-            p_top = C0 * (rho_top * th_p[:, :, -hs:]) ** gamma
-        else:
-            p_bot = jnp.repeat(pressure[:, :, :1], hs, axis=2)
-            p_top = jnp.repeat(pressure[:, :, -1:], hs, axis=2)
-        pressure = jnp.concatenate([p_bot, pressure, p_top], axis=2)
-
-        dyn = jnp.stack([rho_p, u_p, v_p, w_p, th_p])
-        return dyn, tracers, pressure
+            bot[-1] = C0 * (rho_bot * bot[4]) ** gamma
+            top[-1] = C0 * (rho_top * top[4]) ** gamma
+        allp = jnp.concatenate([jnp.stack(bot), allf, jnp.stack(top)],
+                               axis=AX_Z)
+        return allp[:NUM_STATE], allp[NUM_STATE:NUM_STATE + ntr], allp[-1]
 
     # ------------------------------------------------------------ tendencies
     def tendencies(self, dyn, tracers, tracers_start, dt, state):

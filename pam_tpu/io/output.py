@@ -69,3 +69,44 @@ class NetCDFWriter:
 
     def close(self):
         self.f.close()
+
+
+class StatsWriter:
+    """Conservation-statistics time series -> ``<prefix>_stats.nc``.
+
+    Parity reference: the SPAM stats subsystem (src/models/stats.h +
+    ModelStats::compute, extrudedmodel.h:4599-4860) written by
+    yakl_serial_io.h outputStats — per-ensemble global mass/min/max,
+    energies (TE/KE/PE/IE), PV and potential enstrophy. Accepts the dict
+    produced by SpamTendencies.statistics / LayerModel.statistics."""
+
+    def __init__(self, stats0: dict, nens: int, prefix: str):
+        self.fname = f"{prefix}_stats.nc"
+        self.num_out = 0
+        f = netcdf_file(self.fname, "w")
+        f.createDimension("t", None)
+        f.createDimension("nens", nens)
+        f.createVariable("t", "d", ("t",))
+        self._vars = {}
+        for name, val in stats0.items():
+            a = np.asarray(val)
+            if a.ndim == 1:                       # (nens,)
+                self._vars[name] = f.createVariable(name, "d", ("t", "nens"))
+            elif a.ndim == 2:                     # (ndens, nens)
+                dim = f"n_{name}"
+                f.createDimension(dim, a.shape[0])
+                self._vars[name] = f.createVariable(name, "d",
+                                                    ("t", dim, "nens"))
+        self.f = f
+
+    def write(self, stats: dict, etime: float):
+        i = self.num_out
+        self.f.variables["t"][i] = etime
+        for name, var in self._vars.items():
+            if name in stats:
+                var[i] = np.asarray(stats[name])
+        self.num_out += 1
+        self.f.sync()
+
+    def close(self):
+        self.f.close()

@@ -47,6 +47,22 @@ class _LaneMat:
         return self.ref[flat:flat + 1, :]
 
 
+class _SelMat:
+    """Upwind-selected per-face matrix: entries materialized once as
+    where(upw, L, R) lane vectors and cached, so the advective fields pay a
+    single WENO evaluation each (instead of evaluating both candidates)."""
+
+    def __init__(self, matL, matR, upw):
+        self.matL, self.matR, self.upw = matL, matR, upw
+        self._cache = {}
+
+    def __getitem__(self, idx):
+        if idx not in self._cache:
+            self._cache[idx] = jnp.where(self.upw, self.matL[idx],
+                                         self.matR[idx])
+        return self._cache[idx]
+
+
 def _direction_kernel(nq, ntr, ord, cs, mom_q_idx, zmask, tables,
                       per_level, nfaces,
                       *refs):
@@ -102,24 +118,21 @@ def _direction_kernel(nq, ntr, ord, cs, mom_q_idx, zmask, tables,
     upw = ru > 0
 
     sf_ref[0] = ru
+    if per_level:
+        # upwind-select the per-face matrices ONCE (cached lane vectors) so
+        # each advective field pays a single WENO evaluation
+        s2cU = _SelMat(s2cL, s2cR, upw)
+        wrlU = _SelMat(wrlL, wrlR, upw)
+    else:
+        s2cU, wrlU = s2c, wrl
     for qi in range(nq):
         q = prim_ref[1 + qi] if qi < 4 else trac_ref[qi - 4]
         vw = views(q)
         sten = [jnp.where(upw, l, r) for l, r in zip(vw[:ord], vw[1:])]
-        if per_level:
-            # variable-grid: evaluate both candidates (matrix select would
-            # materialize ord^2 lane vectors per face; cf. weno.py docstring)
-            aL = weno_mod.weno_coefs_list(vw[:ord], s2cL, wrlL, tv_hi, tv_lo,
-                                          idl, sigma)
-            aR = weno_mod.weno_coefs_list(vw[1:], s2cR, wrlR, tv_hi, tv_lo,
-                                          idl, sigma)
-            val = jnp.where(upw, weno_mod._eval_edge_list(aL, c2g[:, 1]),
-                            weno_mod._eval_edge_list(aR, c2g[:, 0]))
-        else:
-            a = weno_mod.weno_coefs_list(sten, s2c, wrl, tv_hi, tv_lo,
-                                         idl, sigma)
-            val = jnp.where(upw, weno_mod._eval_edge_list(a, c2g[:, 1]),
-                            weno_mod._eval_edge_list(a, c2g[:, 0]))
+        a = weno_mod.weno_coefs_list(sten, s2cU, wrlU, tv_hi, tv_lo,
+                                     idl, sigma)
+        val = jnp.where(upw, weno_mod._eval_edge_list(a, c2g[:, 1]),
+                        weno_mod._eval_edge_list(a, c2g[:, 0]))
         flux = ru * val
         if qi == mom_q_idx:
             flux = flux + pp
