@@ -86,10 +86,13 @@ def setup_supercell_mmf(nx=65, ny=1, nz=50, nens=1, xlen=128000.0,
                         ylen=64000.0, zlen=20000.0, dtype=jnp.float64,
                         micro="kessler", sgs="none", dt_gcm=900.0,
                         dt_crm_phys=20.0, perturb_seeds=None,
+                        dycore="awfl", crm_per_phys=1,
                         dycore_kwargs=None):
     """Build the full MMF configuration mirroring inputs/input_pamc.yaml
     (65x1x50 cells, 128 km x 64 km, 20 km top) with supercell column init.
-    Returns (driver, state)."""
+    dycore="awfl" (PAM-A) or "spam" (PAM-C: MCE_rho + semi-implicit with
+    dt_si = dt_crm_phys/crm_per_phys, the reference coupled defaults,
+    core/params.h:120-165). Returns (driver, state)."""
     cpl = Coupler(nz=nz, ny=ny, nx=nx, nens=nens, xlen=xlen, ylen=ylen,
                   dtype=dtype)
     if micro == "kessler":
@@ -113,8 +116,16 @@ def setup_supercell_mmf(nx=65, ny=1, nz=50, nens=1, xlen=128000.0,
     seeds = perturb_seeds if perturb_seeds is not None else np.arange(nens)
     state = perturb_temperature(cpl, state, np.asarray(seeds))
 
-    dyc = AwflDycore.build(cpl, np.diff(zint), **(dycore_kwargs or {}))
-    state = dyc.declare_current_profile_as_hydrostatic(state)
+    if dycore == "awfl":
+        dyc = AwflDycore.build(cpl, np.diff(zint), **(dycore_kwargs or {}))
+        state = dyc.declare_current_profile_as_hydrostatic(state)
+    elif dycore == "spam":
+        from ..spam.dycore import SpamDycore
+        dyc = SpamDycore.build_coupled(cpl, state, zint,
+                                       dt_si=dt_crm_phys / crm_per_phys,
+                                       **(dycore_kwargs or {}))
+    else:
+        raise ValueError(f"unknown dycore {dycore!r}")
 
     micro_obj = None
     if micro == "kessler":

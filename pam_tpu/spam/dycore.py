@@ -16,10 +16,25 @@ import numpy as np
 
 from ..core.coupler import Coupler
 from .geometry import ExtrudedGeometry
-from .thermo import ConstantKappaVirtualPottemp, IdealGasPottemp
+from .thermo import (ConstantKappaVirtualPottemp, IdealGasPottemp,
+                     ThermoConstants)
 from .varset import VariableSet
 from .tendencies import SpamTendencies
 from .operators import mirror_layer
+
+
+def thermo_constants_from_coupler(coupler: Coupler) -> ThermoConstants:
+    """Map coupler physical constants onto the SPAM thermo constants, as
+    CoupledTestCase::set_reference_state does from coupler options
+    (extrudedmodel.h:5812-5826). The reference assigns Lvr directly; our
+    Lvr is derived from Lv0, so Lv0 is back-solved to make Lvr == latvap."""
+    c = coupler.const
+    cpv = c.cp_v
+    cl = c.cp_l
+    return ThermoConstants(
+        Rd=c.R_d, Rv=c.R_v, pr=c.p0, Cpd=c.cp_d, Cvd=c.cp_d - c.R_d,
+        Cpv=cpv, Cvv=cpv - c.R_v, Cl=cl,
+        Lv0=c.latvap - (cpv - cl) * ThermoConstants.Tr, Lfr=c.latice)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -65,6 +80,26 @@ class SpamDycore:
                            coupler.dtype)
         return SpamDycore(coupler=coupler, geom=geom, varset=vs,
                           thermo=thermo, tend=tend, geop=geop, grav=grav)
+
+    @staticmethod
+    def build_coupled(coupler: Coupler, state, zint, dt_si,
+                      si_max_iters: int = 3, si_nquad: int = 2,
+                      variant: str = "MCE_rho") -> "SpamDycore":
+        """Full coupled setup mirroring the reference's MMF configuration:
+        MCE_rho + ConstantKappa_VirtualPottemp, thermo constants copied from
+        the coupler, SI reference state built from the coupler's ref_*
+        columns, and the semi-implicit integrator at step dt_si
+        (CoupledTestCase, extrudedmodel.h:5768-6069 + tstype="si" default,
+        core/params.h:148-152)."""
+        from . import si as si_mod
+        thermo = ConstantKappaVirtualPottemp(
+            cst=thermo_constants_from_coupler(coupler))
+        dyc = SpamDycore.build(coupler, zint, grav=coupler.const.grav,
+                               variant=variant, thermo=thermo)
+        refstate = si_mod.build_coupled_reference_state(
+            state, dyc.geom, thermo, dyc.varset, coupler.const.grav)
+        return dyc.with_si(refstate, dt_si, max_iters=si_max_iters,
+                           nquad=si_nquad)
 
     # ------------------------------------------------------- conversions
     def coupler_to_dynamics(self, state):

@@ -97,6 +97,114 @@ def build_reference_state(geom, thermo, varset, refrho_f,
                 rho_di=rho_di, q_di=q_di, Nsq_pi=Nsq_pi, B=B)
 
 
+def build_coupled_reference_state(state, geom, thermo, varset, grav):
+    """SI reference state from the coupler's ``ref_*`` columns
+    (CoupledTestCase::set_reference_state, extrudedmodel.h:5800-6056).
+
+    state: coupler state dict with ref_density_dry/vapor/liq/ice, ref_temp
+    columns of shape (nens, nz). Returns the same dict layout as
+    :func:`build_reference_state` with moist q_pi/q_di rows populated.
+    """
+    from .testcases import saturation_vapor_pressure
+
+    nz, nens, ndens = geom.nz, geom.nens, varset.ndensity
+    rho_d = np.asarray(state["ref_density_dry"], np.float64)   # (nens, nz)
+    rho_v = np.asarray(state["ref_density_vapor"], np.float64)
+    rho_l = np.asarray(state["ref_density_liq"], np.float64)
+    rho_i = np.asarray(state["ref_density_ice"], np.float64)
+    temp = np.asarray(state["ref_temp"], np.float64)
+    rho = rho_d + rho_v
+    qd, qv = rho_d / rho, rho_v / rho
+    ql, qi = rho_l / rho, rho_i / rho
+    alpha = 1.0 / rho
+    sv = np.asarray(thermo.compute_entropic_var_from_alpha_T(
+        alpha, temp, qd, qv, ql, qi))
+
+    vol = geom.dx * np.asarray(geom.dz_d)                       # (nens, nz)
+    dens = np.zeros((ndens, nens, nz))
+    dens[varset.dens_id_mass] = rho * vol
+    dens[varset.dens_id_entr] = sv * rho * vol
+    dens[varset.dens_id_vap] = rho_v * vol
+    geop = np.asarray(profile_n1form(lambda z: flat_geop(z, grav), geom))
+
+    # unscaled q at primal levels ("Coupled reference state 1", :5850-5882)
+    q_pi = np.zeros((ndens, nens, nz))
+    q_pi[varset.dens_id_mass] = rho
+    q_pi[varset.dens_id_entr] = rho * sv
+    q_pi[varset.dens_id_vap] = rho_v
+    rho_pi = dens[varset.dens_id_mass] / vol                    # Hn1bar diag
+
+    # interface interpolation with the reference's grid weights
+    # ("compute unscaled q_di", :5884-5906): q_di(k) = q(k-1) +
+    # (q(k)-q(k-1)) * (zint_d(k)-zint_p(k-1))/dz_p(k-1), boundaries copied
+    wgt = ((geom.zint_d[:, 1:nz] - geom.zint_p[:, :nz - 1]) /
+           geom.dz_p)                                           # (nens, nz-1)
+
+    def to_di(a):
+        mid = a[..., :-1] + (a[..., 1:] - a[..., :-1]) * wgt
+        return np.concatenate([a[..., :1], mid, a[..., -1:]], axis=-1)
+
+    q_di = to_di(q_pi)
+    rho_di = to_di(rho_pi)
+    q_pi = q_pi / rho_pi
+    q_di = q_di / rho_di
+
+    # moist Brunt-Väisälä frequency ("compute Nsq", :5975-6031)
+    c = thermo.cst
+    eta = c.Rv / c.Rd
+    rv = rho_v / rho_d
+    idx_m = np.concatenate([[0], np.arange(nz - 1)])        # k-1 clamped
+    idx_p = np.concatenate([np.arange(1, nz), [nz - 1]])    # k+1 clamped
+    T_km, T_kp = temp[:, idx_m], temp[:, idx_p]
+    rv_km, rv_kp = rv[:, idx_m], rv[:, idx_p]
+    dzp = np.asarray(geom.dz_p)                              # (nens, nz-1)
+    dz = np.empty((nens, nz))
+    dz[:, 0] = dzp[:, 0]
+    dz[:, -1] = dzp[:, -1]
+    dz[:, 1:-1] = dzp[:, 1:] + dzp[:, :-1]
+    dTdz = (T_kp - T_km) / dz
+    drvdz = (rv_kp - rv_km) / dz
+    T = temp
+    Tv = T * (1 + eta * rv) / (1 + rv)
+    es = saturation_vapor_pressure(T)
+    rsw = (es / (c.Rd * T) - 1) * c.Rd / c.Rv
+    qsw = rsw / (1 + rsw)
+    D1w = 1 + (1 + eta * rsw) * c.Lvr * qsw / (c.Rd * Tv)
+    D2w = 1 + (1 + eta * rsw) * c.Lvr * c.Lvr * qsw / (c.Cpd * c.Rv * T * T)
+    gamma_m = grav / c.Cpd * D1w / D2w
+    Nsq_pi = grav / T * D1w * (dTdz + gamma_m) - grav / (1 + rv) * drvdz
+
+    # ref B with fac=-1 (compute_dHsdx, compressible_euler.h:304-350)
+    geop0 = geop / vol
+    sv_pi = q_pi[varset.dens_id_entr]
+    qv_pi = q_pi[varset.dens_id_vap]
+    qd_pi = 1.0 - qv_pi
+    z0 = np.zeros_like(qv_pi)
+    alpha_pi = 1.0 / rho_pi
+    U = np.asarray(thermo.compute_U(alpha_pi, sv_pi, qd_pi, qv_pi, z0, z0))
+    p = -np.asarray(thermo.compute_dUdalpha(alpha_pi, sv_pi, qd_pi, qv_pi,
+                                            z0, z0))
+    gexner = np.asarray(thermo.compute_dUdentropic_var(
+        alpha_pi, sv_pi, qd_pi, qv_pi, z0, z0))
+    mu_d, mu_v, mu_l, mu_i = (np.asarray(m) for m in thermo.compute_dUdq(
+        alpha_pi, sv_pi, qd_pi, qv_pi, z0, z0))
+    B = np.zeros((varset.ndensity_active, nens, nz))
+    B[varset.active_id_mass] = -(geop0 + U + p * alpha_pi - sv_pi * gexner +
+                                 qv_pi * (mu_d - mu_v))
+    B[varset.active_id_entr] = -gexner
+
+    # reference pressure profiles (":Compute refstate pres_pi/di", :6033-6056)
+    pres_pi = np.asarray(thermo.solve_p(rho_pi, sv_pi, qd_pi, qv_pi, z0, z0))
+    qv_di = q_di[varset.dens_id_vap]
+    pres_di = np.asarray(thermo.solve_p(
+        rho_di, q_di[varset.dens_id_entr], 1.0 - qv_di, qv_di,
+        np.zeros_like(qv_di), np.zeros_like(qv_di)))
+
+    return dict(dens=dens, geop=geop, rho_pi=rho_pi, q_pi=q_pi,
+                rho_di=rho_di, q_di=q_di, Nsq_pi=Nsq_pi, B=B,
+                pres_pi=pres_pi, pres_di=pres_di)
+
+
 # ---------------------------------------------------------------------------
 # Compressible velocity linear system
 # ---------------------------------------------------------------------------
