@@ -145,11 +145,22 @@ def run_idealized(cfg: dict, verbose: bool = True):
                                   tc.Lx, nens, jnp.float64)
     thermo = thermo_from_string(cfg.get(
         "thermo", "constkappavirpottemp" if moist else "idealgaspottemp"))
+    special_ref = None
     if moist:
+        if getattr(tc, "needs_special_init", False) and \
+                hasattr(tc, "thermo_constants"):
+            import dataclasses as _dc
+            thermo = _dc.replace(thermo, cst=tc.thermo_constants())
         vs = VariableSet(variant="MCE_rho", tracer_names=("water_vapor",),
                          tracer_positive=(True,), geom=geom, thermo=thermo)
         tend = SpamTendencies(geom=geom, varset=vs, thermo=thermo, grav=tc.g)
-        dens, v, w, geop = tcs.setup_moist_testcase(tc, geom, thermo)
+        if getattr(tc, "needs_special_init", False):
+            # supercell: ICs + reference state from the special column init
+            # (extrudedmodel.h:7148-7287)
+            dens, v, w, geop, special_ref = tcs.setup_supercell(
+                tc, geom, thermo, vs)
+        else:
+            dens, v, w, geop = tcs.setup_moist_testcase(tc, geom, thermo)
     else:
         vs = VariableSet(variant="CE", geom=geom, thermo=thermo)
         tend = SpamTendencies(geom=geom, varset=vs, thermo=thermo, grav=tc.g)
@@ -213,13 +224,16 @@ def run_idealized(cfg: dict, verbose: bool = True):
         # semi-implicit: needs a testcase reference state (ref: params
         # tstype="si", core/params.h:151 + SI_Newton.h)
         from ..spam import si as si_mod
-        if not hasattr(tc, "refrho_f"):
+        if special_ref is not None:
+            ref = special_ref
+        elif hasattr(tc, "refrho_f"):
+            ref = si_mod.build_reference_state(
+                geom, thermo, vs, lambda z: tc.refrho_f(z, thermo),
+                lambda z: tc.refentropicdensity_f(z, thermo),
+                lambda z: np.asarray(tc.refnsq_f(z, thermo)), tc.g)
+        else:
             raise ValueError(
                 f"init_data {name!r} has no reference state for tstype=si")
-        ref = si_mod.build_reference_state(
-            geom, thermo, vs, lambda z: tc.refrho_f(z, thermo),
-            lambda z: tc.refentropicdensity_f(z, thermo),
-            lambda z: np.asarray(tc.refnsq_f(z, thermo)), tc.g)
         import dataclasses as dc
         J = jnp.asarray
         tend = dc.replace(

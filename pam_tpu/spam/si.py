@@ -97,6 +97,66 @@ def build_reference_state(geom, thermo, varset, refrho_f,
                 rho_di=rho_di, q_di=q_di, Nsq_pi=Nsq_pi, B=B)
 
 
+def build_moist_reference_state(geom, thermo, varset, refdens, refnsq_f,
+                                grav):
+    """SI reference state from prescribed moist reference-density columns
+    (MoistEulerTestCase::set_reference_state, extrudedmodel.h:5624-5765):
+    rho/q at primal levels via diagonal Hn1bar, plain midpoint averaging to
+    dual interfaces, B with fac=-1 and moist chemical potentials.
+
+    refdens: (ndens, nens, nz) twisted n-forms with mass/entr/vap rows set.
+    """
+    nz, nens = geom.nz, geom.nens
+    refdens = np.asarray(refdens, np.float64)
+    vol = geom.dx * np.asarray(geom.dz_d)
+    geop = np.asarray(profile_n1form(lambda z: flat_geop(z, grav), geom))
+
+    q_pi = refdens / vol                       # unscaled (Hn1bar diagonal)
+    rho_pi = q_pi[varset.dens_id_mass].copy()
+
+    def to_di(a):                              # boundary copy + midpoint avg
+        mid = 0.5 * (a[..., 1:] + a[..., :-1])
+        return np.concatenate([a[..., :1], mid, a[..., -1:]], axis=-1)
+
+    q_di = to_di(q_pi)
+    rho_di = to_di(rho_pi)
+    q_pi = q_pi / rho_pi
+    q_di = q_di / rho_di
+
+    Nsq_pi = np.asarray(refnsq_f(np.asarray(geom.zint_p)))
+    if Nsq_pi.shape != rho_pi.shape:
+        Nsq_pi = np.broadcast_to(Nsq_pi, rho_pi.shape).copy()
+
+    # B with fac=-1 (compressible_euler.h compute_dHsdx:304-350)
+    geop0 = geop / vol
+    sv_pi = q_pi[varset.dens_id_entr]
+    qv_pi = q_pi[varset.dens_id_vap]
+    qd_pi = 1.0 - qv_pi
+    z0 = np.zeros_like(qv_pi)
+    alpha_pi = 1.0 / rho_pi
+    U = np.asarray(thermo.compute_U(alpha_pi, sv_pi, qd_pi, qv_pi, z0, z0))
+    p = -np.asarray(thermo.compute_dUdalpha(alpha_pi, sv_pi, qd_pi, qv_pi,
+                                            z0, z0))
+    gexner = np.asarray(thermo.compute_dUdentropic_var(
+        alpha_pi, sv_pi, qd_pi, qv_pi, z0, z0))
+    mu_d, mu_v, mu_l, mu_i = (np.asarray(m) for m in thermo.compute_dUdq(
+        alpha_pi, sv_pi, qd_pi, qv_pi, z0, z0))
+    B = np.zeros((varset.ndensity_active, nens, nz))
+    B[varset.active_id_mass] = -(geop0 + U + p * alpha_pi - sv_pi * gexner +
+                                 qv_pi * (mu_d - mu_v))
+    B[varset.active_id_entr] = -gexner
+
+    pres_pi = np.asarray(thermo.solve_p(rho_pi, sv_pi, qd_pi, qv_pi, z0, z0))
+    qv_di = q_di[varset.dens_id_vap]
+    pres_di = np.asarray(thermo.solve_p(
+        rho_di, q_di[varset.dens_id_entr], 1.0 - qv_di, qv_di,
+        np.zeros_like(qv_di), np.zeros_like(qv_di)))
+
+    return dict(dens=refdens, geop=geop, rho_pi=rho_pi, q_pi=q_pi,
+                rho_di=rho_di, q_di=q_di, Nsq_pi=Nsq_pi, B=B,
+                pres_pi=pres_pi, pres_di=pres_di)
+
+
 def build_coupled_reference_state(state, geom, thermo, varset, grav):
     """SI reference state from the coupler's ``ref_*`` columns
     (CoupledTestCase::set_reference_state, extrudedmodel.h:5800-6056).

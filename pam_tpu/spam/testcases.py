@@ -386,6 +386,142 @@ class GravityWave:
             p, T, 1.0, 0, 0, 0))
 
 
+def saturation_mixing_ratio(T, p):
+    """(extrudedmodel.h:5214-5216)."""
+    return 380.0 / p * np.exp(17.27 * (T - 273.0) / (T - 36.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class Supercell:
+    """Weisman-Klemp-like supercell sounding with a warm bubble trigger and
+    low-level shear (ref: struct Supercell, extrudedmodel.h:7049-7287;
+    moist MCE_rho + ConstantKappa_VirtualPottemp, SI time stepping).
+    Requires special init: column profiles solved by fixed-point iteration
+    (initialize_refstate, :7148-7224), ICs broadcast from the reference
+    columns plus a θ' bubble (initialize, :7254-7276)."""
+    g: float = 9.81
+    Lx: float = 168e3
+    Ly: float = 168e3
+    Lz: float = 20e3
+    xbc_frac: float = 0.5       # bubble center at 0.5*Lx
+    zbc: float = 1.5e3
+    rx: float = 10e3
+    rz: float = 1.5e3
+    dtht: float = 3.0
+    tht_0: float = 300.0
+    z_tr: float = 12e3
+    tht_tr: float = 343.0
+    T_tr: float = 213.0
+    z_s: float = 5e3
+    U_s: float = 30.0
+    U_c: float = 15.0
+    dz_u: float = 1e3
+    N_ref: float = 0.011
+    nonlinear_iters: int = 10
+    max_qv: float = 0.014
+
+    needs_special_init = True
+
+    @property
+    def xc(self):
+        return 0.5 * self.Lx
+
+    def thermo_constants(self):
+        """The constants the reference hard-sets for this case
+        (initialize_refstate, extrudedmodel.h:7172-7183)."""
+        from .thermo import ThermoConstants
+        return ThermoConstants(Rd=287.0, Rv=461.0, pr=1e5, Cpd=1003.0,
+                               Cvd=1003.0 - 287.0, Cpv=1859.0)
+
+    def refnsq_f(self, z):
+        return np.full_like(np.asarray(z, np.float64), self.N_ref ** 2)
+
+    def tht_f(self, z, cst):
+        return np.where(
+            z <= self.z_tr,
+            self.tht_0 + (self.tht_tr - self.tht_0) *
+            np.power(np.maximum(z, 0.0) / self.z_tr, 1.25),
+            self.tht_tr * np.exp(self.g / (cst.Cpd * self.T_tr) *
+                                 (z - self.z_tr)))
+
+    def hum_f(self, z):
+        return np.where(z <= self.z_tr,
+                        1.0 - 0.75 * np.power(z / self.z_tr, 1.25), 0.25)
+
+    def tht_perturb_f(self, x, z):
+        dx = (x - self.xbc_frac * self.Lx) / self.rx
+        dz = (z - self.zbc) / self.rz
+        r = np.sqrt(dx * dx + dz * dz)
+        return np.where(r < 1, self.dtht * np.cos(np.pi * r / 2) ** 2, 0.0)
+
+    def u_f(self, z):
+        zs, dzu, Us, Uc = self.z_s, self.dz_u, self.U_s, self.U_c
+        mid = (-4.0 / 5 + 3 * z / zs - 5.0 / 4 * (z / zs) ** 2) * Us - Uc
+        return np.where(z < zs - dzu, Us * z / zs - Uc,
+                        np.where(np.abs(z - zs) <= dzu, mid, Us - Uc))
+
+    def build_columns(self, geom, thermo):
+        """Fixed-point solve of the hydrostatic moist column
+        (initialize_refstate, extrudedmodel.h:7189-7203). Returns
+        (rho, thtv, qv) at primal levels, shapes (nens, nz)."""
+        cst = thermo.cst
+        z = np.asarray(geom.zint_p)                  # (nens, nz)
+        veps = cst.Rv / cst.Rd - 1.0
+        tht = self.tht_f(z, cst)
+        thtv = tht.copy()
+        dzp = np.asarray(geom.dz_p)                  # (nens, nz-1)
+        qv = np.zeros_like(z)
+        for _ in range(self.nonlinear_iters):
+            # hydrostatic exner from the surface up (cumulative)
+            dex = -self.g / (cst.Cpd * 0.5 * (thtv[:, :-1] + thtv[:, 1:])) \
+                * dzp
+            exner = np.concatenate(
+                [np.ones_like(z[:, :1]), 1.0 + np.cumsum(dex, axis=1)],
+                axis=1)
+            p = cst.pr * np.power(exner, 1.0 / cst.kappa_d)
+            T = tht * exner
+            qvs = saturation_mixing_ratio(T, p)
+            qv = np.minimum(qvs * self.hum_f(z), self.max_qv)
+            thtv = tht * (1.0 + veps * qv)
+        rho = p / (cst.Rd * exner * thtv)
+        return rho, thtv, qv
+
+
+def setup_supercell(tc, geom, thermo, varset):
+    """Build (dens, v, w, geop, refstate) for the Supercell case
+    (initialize_refstate + initialize, extrudedmodel.h:7148-7287)."""
+    from . import si as si_mod
+
+    rho, thtv, qv = tc.build_columns(geom, thermo)   # primal levels (nens,nz)
+    vol = geom.dx * np.asarray(geom.dz_d)
+    refdens = np.zeros((varset.ndensity, geom.nens, geom.nz))
+    refdens[varset.dens_id_mass] = rho * vol
+    refdens[varset.dens_id_entr] = rho * thtv * vol
+    refdens[varset.dens_id_vap] = rho * qv * vol
+    refstate = si_mod.build_moist_reference_state(
+        geom, thermo, varset, refdens, tc.refnsq_f, tc.g)
+
+    # ICs: broadcast ref columns + θ' bubble on the entropic density
+    # (initialize, :7254-7276; perturbation at cell centers)
+    nx = geom.nx
+    dens = np.repeat(refdens[:, :, :, None], nx, axis=3)
+    xmid = (np.arange(nx) + 0.5) * geom.dx           # (nx,)
+    zmid = np.asarray(geom.zmid_d)                   # (nens, nz)
+    pert = tc.tht_perturb_f(xmid[None, None, :], zmid[:, :, None])
+    dens[varset.dens_id_entr] += pert * refdens[varset.dens_id_mass][:, :, None]
+
+    # winds: u(z) shear as a straight 1-form (set_10form_values -> u*dx)
+    u = tc.u_f(np.asarray(geom.zint_p))              # (nens, nz)
+    v = np.repeat((u * geom.dx)[:, :, None], nx, axis=2)
+    dtype = geom.dtype
+    geop = project_n1form(lambda x, z: tc.g * z, geom)
+    return (jnp.asarray(dens, dtype),
+            jnp.asarray(v, dtype),
+            jnp.zeros((geom.nens, geom.nz - 1, geom.nx), dtype),
+            jnp.asarray(geop, dtype),
+            refstate)
+
+
 def project_n1form(f, geom, nq: int = 5):
     """Cell-average (n1-form) projection of f(x, z) over dual cells by
     tensor-product Gauss quadrature (analog of set_n1form_values).
@@ -449,6 +585,7 @@ TESTCASE_REGISTRY = {
     "gravitywave": (GravityWave, False),
     "moistrisingbubble": (MoistRisingBubble, True),
     "moistlargerisingbubble": (MoistLargeRisingBubble, True),
+    "supercell": (Supercell, True),
 }
 
 

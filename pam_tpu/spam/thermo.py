@@ -315,6 +315,51 @@ THERMO_REGISTRY = {
 }
 
 
+def _register_stub_thermos():
+    """Registered after the classes are defined below (see
+    _UnimplementedThermo)."""
+    THERMO_REGISTRY.update({
+        "constkappaentropy": ConstantKappaEntropy,
+        "unapproxpottemp": UnapproxPottemp,
+        "unapproxentropy": UnapproxEntropy,
+    })
+
+
+class _UnimplementedThermo:
+    """Placeholder matching the reference's declared-but-unimplemented
+    potentials: every method body in the reference is commented out
+    (thermo.h:482-660 ConstantKappa_Entropy / Unapprox_Pottemp /
+    Unapprox_Entropy), so instantiating one and calling any compute_*
+    raises, exactly like compiling the reference with those macros would
+    fail."""
+    moist_species_decouple_from_dynamics = False
+
+    def __init__(self, cst: ThermoConstants = None):
+        self.cst = cst or ThermoConstants()
+
+    def __getattr__(self, name):
+        if name.startswith("compute_") or name == "solve_p":
+            raise NotImplementedError(
+                f"{type(self).__name__}.{name}: unimplemented in the "
+                "reference (thermo.h commented-out stubs)")
+        raise AttributeError(name)
+
+
+class ConstantKappaEntropy(_UnimplementedThermo):
+    """(ref: thermo.h:482-541 — all methods commented out)."""
+
+
+class UnapproxPottemp(_UnimplementedThermo):
+    """(ref: thermo.h:543-601 — all methods commented out)."""
+
+
+class UnapproxEntropy(_UnimplementedThermo):
+    """(ref: thermo.h:603-660 — all methods commented out)."""
+
+
+_register_stub_thermos()
+
+
 def thermo_from_string(name: str, cst: ThermoConstants = None):
     """Analog of the PAMC_THERMO compile-time dispatch (thermo.h:662-673)."""
     cls = THERMO_REGISTRY[name.lower()]
