@@ -40,14 +40,17 @@ def main():
     from pam_tpu.modules import gcm_forcing
 
     nx, ny, nz = 65, 1, 50
-    nens = int(os.environ.get("PAM_BENCH_NENS", "64"))
-    n_crm_steps = int(os.environ.get("PAM_BENCH_STEPS", "20"))
+    nens = int(os.environ.get("PAM_BENCH_NENS", "128"))
+    n_crm_steps = int(os.environ.get("PAM_BENCH_STEPS", "60"))
+    # PAM-C (SPAM + semi-implicit) is the reference's production MMF dycore
+    # (inputs/input_pamc.yaml); PAM_BENCH_DYCORE=awfl benches PAM-A instead.
+    dycore = os.environ.get("PAM_BENCH_DYCORE", "spam")
 
     log(f"devices: {jax.devices()}")
     drv, state = setup_supercell_mmf(
         nx=nx, ny=ny, nz=nz, nens=nens, xlen=128000.0, ylen=64000.0,
         zlen=20000.0, micro="kessler", dt_gcm=900.0, dt_crm_phys=20.0,
-        dtype=jnp.float32)
+        dycore=dycore, dtype=jnp.float32)
     state = gcm_forcing.compute_gcm_forcing_tendencies(
         drv.coupler, state, drv.dt_gcm)
 
