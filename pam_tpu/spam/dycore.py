@@ -215,6 +215,10 @@ class SpamDycore:
                 d_, v_, w_, self.geop, dtcrm)
         dens, v, w = self.coupler_to_dynamics(state)
 
+        # NOTE: the lax.scan stays even for n_substeps == 1 — XLA compiles
+        # the loop body into a measurably faster program than the inlined
+        # step (7.3 -> 5.2 ms/step on v5e at 65x50x128), likely due to
+        # loop-invariant table hoisting + layout assignment.
         def body(carry, _):
             d_, v_, w_ = carry
             return stepper(d_, v_, w_), None

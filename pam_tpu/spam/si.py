@@ -529,21 +529,28 @@ def si_step(tend, linsys, dens, v, w, geop, dt, max_iters: int = 3,
     xn = (dens, v, w)
     res = (-dt * dxd, -dt * dxv, -dt * dxw)
 
+    pts = jnp.asarray(pts, v.dtype)
+    wts = jnp.asarray(wts, v.dtype)
+
     for _ in range(max_iters):
         sol = linsys.solve(*res)
         xn = tuple(a + b for a, b in zip(xn, sol))
         # discrete gradient: quadrature-averaged functional derivatives
-        # between x and xn (time_integrator.h:51-70)
-        Fa = FWa = Ba = None
-        for p, wq in zip(pts, wts):
-            md = (1 - p) * dens + p * xn[0]
-            mv = (1 - p) * v + p * xn[1]
-            mw = (1 - p) * w + p * xn[2]
-            F, FW, _, B = tend.functional_derivatives(md, mv, mw, geop)
-            if Fa is None:
-                Fa, FWa, Ba = wq * F, wq * FW, wq * B
-            else:
-                Fa, FWa, Ba = Fa + wq * F, FWa + wq * FW, Ba + wq * B
+        # between x and xn (time_integrator.h:51-70). All quadrature points
+        # are evaluated in one vmapped (batched) call — fewer, wider TPU
+        # kernels than the reference's sequential loop.
+        md = (1 - pts)[:, None, None, None, None] * dens + \
+            pts[:, None, None, None, None] * xn[0]
+        mv = (1 - pts)[:, None, None, None] * v + \
+            pts[:, None, None, None] * xn[1]
+        mw = (1 - pts)[:, None, None, None] * w + \
+            pts[:, None, None, None] * xn[2]
+        Fq, FWq, _, Bq = jax.vmap(
+            lambda d_, v_, w_: tend.functional_derivatives(d_, v_, w_, geop)
+        )(md, mv, mw)
+        Fa = jnp.einsum('q,q...->...', wts, Fq)
+        FWa = jnp.einsum('q,q...->...', wts, FWq)
+        Ba = jnp.einsum('q,q...->...', wts, Bq)
         xm = tuple(0.5 * (a + b) for a, b in zip((dens, v, w), xn))
         dxd, dxv, dxw = tend.apply_symplectic(xm[0], xm[1], xm[2], Fa, FWa,
                                               Ba, dt)
