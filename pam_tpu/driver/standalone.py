@@ -248,6 +248,15 @@ def run_idealized(cfg: dict, verbose: bool = True):
         step = jax.jit(lambda d, vv, ww: si_mod.si_step(
             tend, lin, d, vv, ww, geop, dt,
             cfg.get("si_max_iters", 3), cfg.get("si_nquad", 2)))
+    elif tstype == "si_fixed":
+        # fixed-point SI (SIFixedTimeIntegrator, SI_Fixed.h) — no linear
+        # solve; pairs with the anelastic pressure projection
+        from ..spam import si as si_mod
+        dt = cfg.get("dtcrm", 10.0)
+        nsteps = int(np.ceil(cfg["sim_time"] / dt))
+        step = jax.jit(lambda d, vv, ww: si_mod.si_fixed_step(
+            tend, d, vv, ww, geop, dt,
+            cfg.get("si_max_iters", 5), cfg.get("si_nquad", 2)))
     else:
         from ..spam.timesteppers import STEPPERS
         if tstype not in STEPPERS:

@@ -159,16 +159,22 @@ class AnelasticTendencies(SpamTendencies):
                                                  FTW)
         return dr.at[0].set(1.0), dvr.at[0].set(1.0), qr, qvr
 
-    def compute_rhs(self, dens, v, w, geop, dt):
-        """Base symplectic + rho pinned + anelastic tendency projection
-        (Tendencies::compute_rhs + add_pressure_perturbation,
-        model.h:275-284, extrudedmodel.h:2496-2503)."""
-        fd, fv, fw = SpamTendencies.compute_rhs(self, dens, v, w, geop, dt)
+    def post_symplectic(self, fd, fv, fw):
+        """rho pinning + anelastic tendency projection, applied after every
+        symplectic evaluation (add_pressure_perturbation,
+        extrudedmodel.h:2496-2503; used by compute_rhs AND by the SI
+        integrators' fixed-point rhs, SI_Fixed.h:41-53)."""
         fd = fd.at[0].set(0.0)     # mass density is not prognostic (VS_AN)
         # the actual tendency is -F; project it so d/dt of the anelastic
         # constraint vanishes, then convert back to F-convention
         dv, dw = self.psolver.project(-fv, -fw)
         return fd, fv - dv, fw - dw
+
+    def compute_rhs(self, dens, v, w, geop, dt):
+        """Base symplectic + post hook (Tendencies::compute_rhs +
+        add_pressure_perturbation, model.h:275-284)."""
+        fd, fv, fw = SpamTendencies.compute_rhs(self, dens, v, w, geop, dt)
+        return self.post_symplectic(fd, fv, fw)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)

@@ -518,6 +518,39 @@ class CompressibleVelocityLinearSystem:
 # SI (quasi-Newton) time integrator
 # ---------------------------------------------------------------------------
 
+def _discrete_gradient(tend, x, xn, geop, pts, wts):
+    """Quadrature-averaged functional derivatives between x and xn
+    (time_integrator.h compute_discrete_gradient:51-70). All quadrature
+    points are evaluated in one vmapped (batched) call — fewer, wider TPU
+    kernels than the reference's sequential loop."""
+    dens, v, w = x
+    md = (1 - pts)[:, None, None, None, None] * dens + \
+        pts[:, None, None, None, None] * xn[0]
+    mv = (1 - pts)[:, None, None, None] * v + \
+        pts[:, None, None, None] * xn[1]
+    mw = (1 - pts)[:, None, None, None] * w + \
+        pts[:, None, None, None] * xn[2]
+    Fq, FWq, _, Bq = jax.vmap(
+        lambda d_, v_, w_: tend.functional_derivatives(d_, v_, w_, geop)
+    )(md, mv, mw)
+    Fa = jnp.einsum('q,q...->...', wts, Fq)
+    FWa = jnp.einsum('q,q...->...', wts, FWq)
+    Ba = jnp.einsum('q,q...->...', wts, Bq)
+    return Fa, FWa, Ba
+
+
+def _apply_symplectic_full(tend, xm, Fa, FWa, Ba, dt):
+    """apply_symplectic + the model's post hook (anelastic pressure
+    perturbation / rho pinning; SI_Newton.h:86-89 apply_symplectic +
+    add_pressure_perturbation)."""
+    dxd, dxv, dxw = tend.apply_symplectic(xm[0], xm[1], xm[2], Fa, FWa, Ba,
+                                          dt)
+    post = getattr(tend, "post_symplectic", None)
+    if post is not None:
+        dxd, dxv, dxw = post(dxd, dxv, dxw)
+    return dxd, dxv, dxw
+
+
 def si_step(tend, linsys, dens, v, w, geop, dt, max_iters: int = 3,
             nquad: int = 2):
     """One semi-implicit step (SI_Newton.h step_forward:31-149, with the
@@ -535,25 +568,31 @@ def si_step(tend, linsys, dens, v, w, geop, dt, max_iters: int = 3,
     for _ in range(max_iters):
         sol = linsys.solve(*res)
         xn = tuple(a + b for a, b in zip(xn, sol))
-        # discrete gradient: quadrature-averaged functional derivatives
-        # between x and xn (time_integrator.h:51-70). All quadrature points
-        # are evaluated in one vmapped (batched) call — fewer, wider TPU
-        # kernels than the reference's sequential loop.
-        md = (1 - pts)[:, None, None, None, None] * dens + \
-            pts[:, None, None, None, None] * xn[0]
-        mv = (1 - pts)[:, None, None, None] * v + \
-            pts[:, None, None, None] * xn[1]
-        mw = (1 - pts)[:, None, None, None] * w + \
-            pts[:, None, None, None] * xn[2]
-        Fq, FWq, _, Bq = jax.vmap(
-            lambda d_, v_, w_: tend.functional_derivatives(d_, v_, w_, geop)
-        )(md, mv, mw)
-        Fa = jnp.einsum('q,q...->...', wts, Fq)
-        FWa = jnp.einsum('q,q...->...', wts, FWq)
-        Ba = jnp.einsum('q,q...->...', wts, Bq)
+        Fa, FWa, Ba = _discrete_gradient(tend, (dens, v, w), xn, geop, pts,
+                                         wts)
         xm = tuple(0.5 * (a + b) for a, b in zip((dens, v, w), xn))
-        dxd, dxv, dxw = tend.apply_symplectic(xm[0], xm[1], xm[2], Fa, FWa,
-                                              Ba, dt)
+        dxd, dxv, dxw = _apply_symplectic_full(tend, xm, Fa, FWa, Ba, dt)
         res = (dens - xn[0] - dt * dxd, v - xn[1] - dt * dxv,
                w - xn[2] - dt * dxw)
     return xn
+
+
+def si_fixed_step(tend, dens, v, w, geop, dt, max_iters: int = 5,
+                  nquad: int = 2):
+    """One fixed-point semi-implicit step (SIFixedTimeIntegrator,
+    SI_Fixed.h:13-150): iterate x^{n+1} <- x^n - dt J((x+xn)/2) dH~(x, xn)
+    with NO linear solve — the anelastic-friendly integrator where the
+    per-rhs pressure projection (post_symplectic) enforces the constraint.
+    Fixed iteration count (monitor_convergence=0); the reference evaluates
+    the fixed-point rhs max_iters-1 times (SI_Fixed.h:77-107)."""
+    pts, wts = gauss_01(nquad)
+    pts = jnp.asarray(pts, v.dtype)
+    wts = jnp.asarray(wts, v.dtype)
+    x = (dens, v, w)
+    dx = tend.compute_rhs(dens, v, w, geop, dt)
+    for _ in range(max_iters - 1):
+        xn = tuple(a - dt * b for a, b in zip(x, dx))
+        Fa, FWa, Ba = _discrete_gradient(tend, x, xn, geop, pts, wts)
+        xm = tuple(0.5 * (a + b) for a, b in zip(x, xn))
+        dx = _apply_symplectic_full(tend, xm, Fa, FWa, Ba, dt)
+    return tuple(a - dt * b for a, b in zip(x, dx))

@@ -111,3 +111,18 @@ def test_anelastic_bubble_rises_beyond_acoustic_cfl():
     com0 = (sp0.sum(1) * zmid).sum() / sp0.sum()
     com1 = (sp1.sum(1) * zmid).sum() / sp1.sum()
     assert com1 > com0 + 30.0
+
+
+def test_si_fixed_matches_explicit():
+    """SIFixedTimeIntegrator (SI_Fixed.h): the fixed-point SI step on the
+    anelastic system agrees with fine-dt explicit SSPRK3."""
+    from pam_tpu.driver.standalone import run_idealized
+    cfg = dict(init_data="risingbubble", hamil="an", crm_nx=12, crm_nz=12,
+               sim_time=60.0, tstype="si_fixed", dtcrm=5.0, out_prefix=None)
+    dens, v, w = run_idealized(cfg, verbose=False)
+    assert np.isfinite(np.asarray(dens)).all()
+    cfg2 = dict(cfg, tstype="ssprk3", dtcrm=1.0)
+    d2, _, _ = run_idealized(cfg2, verbose=False)
+    err = float(np.abs(np.asarray(dens[1]) - np.asarray(d2[1])).max() /
+                np.abs(np.asarray(d2[1])).max())
+    assert err < 1e-5, err
