@@ -174,6 +174,12 @@ def run_idealized(cfg: dict, verbose: bool = True):
                  "velocity_div_horiz_diffusion_coeff",
                  "velocity_div_vert_diffusion_coeff")
     diff_cfg = {k: float(cfg[k]) for k in diff_keys if k in cfg}
+    # numerics knobs (compile-time in the reference, common.h:72-111)
+    for k in ("reconstruction_type", "dual_upwind_type"):
+        if k in cfg:
+            diff_cfg[k] = str(cfg[k])
+    if "tanh_upwind_coeff" in cfg:
+        diff_cfg["tanh_upwind_coeff"] = float(cfg["tanh_upwind_coeff"])
     if diff_cfg:
         import dataclasses as _dc
         tend = _dc.replace(tend, **diff_cfg)

@@ -128,6 +128,16 @@ def weno_coefs_list(u, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma):
     return out
 
 
+def cfv_coefs_list(u, s2c):
+    """Centered finite-volume (CFV) polynomial coefficients: the full-order
+    stencil-to-coefficient map with NO nonlinear limiting (the a_hi branch
+    alone). Parity: operators/cfv_recon.h (RECONSTRUCTION_TYPE::CFV,
+    common.h:72)."""
+    ord = len(u)
+    return [_msum([s2c[c, s] * u[s] for s in range(ord)])
+            for c in range(ord)]
+
+
 def weno_coefs(u, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma):
     """Stacked-array wrapper over :func:`weno_coefs_list`: u has the stencil
     axis LEADING; returns (ord, ...) with the coefficient axis leading."""

@@ -27,22 +27,27 @@ from . import operators as op
 from .operators import rollm, mirror_layer, mirror_iface, AXZ
 
 
-def _edge_recon_x(field, tables):
-    """WENO edge reconstruction along x (periodic): for each cell return
-    (left_edge, right_edge) values. field: (..., nens, nlev, nx)."""
+def _edge_recon_x(field, tables, recon_type: str = "wenofunc"):
+    """Edge reconstruction along x (periodic): for each cell return
+    (left_edge, right_edge) values. field: (..., nens, nlev, nx).
+    recon_type: "wenofunc"/"weno" (limited) or "cfv" (centered, no
+    limiting) — RECONSTRUCTION_TYPE, common.h:72-88."""
     s2c, wrl, tvh, tvl, c2g, idl, sigma = tables
     ord = s2c.shape[-1]
     hs = (ord - 1) // 2
     # periodic x stencils: stencil for cell i = cells i-hs..i+hs
     sten = [jnp.roll(field, hs - s, axis=-1) for s in range(ord)]
-    aw = weno.weno_coefs_list(sten, s2c, wrl, tvh, tvl, idl, sigma)
+    if recon_type == "cfv":
+        aw = weno.cfv_coefs_list(sten, s2c)
+    else:
+        aw = weno.weno_coefs_list(sten, s2c, wrl, tvh, tvl, idl, sigma)
     left = weno._eval_edge_list(aw, c2g[:, 0])
     right = weno._eval_edge_list(aw, c2g[:, 1])
     return left, right
 
 
-def _edge_recon_z(field_padded, tables, nlev):
-    """WENO edge reconstruction in z for cells 0..nlev-1 from a z-padded
+def _edge_recon_z(field_padded, tables, nlev, recon_type: str = "wenofunc"):
+    """Edge reconstruction in z for cells 0..nlev-1 from a z-padded
     array (pad hs on each side): returns (bottom_edge, top_edge) per cell."""
     s2c, wrl, tvh, tvl, c2g, idl, sigma = tables
     ord = s2c.shape[-1]
@@ -52,24 +57,39 @@ def _edge_recon_z(field_padded, tables, nlev):
         ss = list(sl)
         ss[AXZ] = slice(s, s + nlev)
         sten.append(field_padded[tuple(ss)])
-    aw = weno.weno_coefs_list(sten, s2c, wrl, tvh, tvl, idl, sigma)
+    if recon_type == "cfv":
+        aw = weno.cfv_coefs_list(sten, s2c)
+    else:
+        aw = weno.weno_coefs_list(sten, s2c, wrl, tvh, tvl, idl, sigma)
     bottom = weno._eval_edge_list(aw, c2g[:, 0])
     top = weno._eval_edge_list(aw, c2g[:, 1])
     return bottom, top
 
 
-def _upwind_x(left, right, flux):
-    """Twisted x recon at edge i: flux>=0 selects right-edge of cell i-1,
-    else left-edge of cell i (recon.h upwind_recon with Heaviside;
-    copysign(1,0)=+1 so ties go upwind-left)."""
+def _upwind_x(left, right, flux, utype: str = "heaviside",
+              coeff: float = 250.0, area=None):
+    """Twisted x recon at edge i. HEAVISIDE: flux>=0 selects right-edge of
+    cell i-1, else left-edge of cell i (recon.h upwind_recon; copysign(1,0)
+    = +1 so ties go upwind-left). TANH: smooth blend with parameter
+    tanh(flux/area * coeff) (recon.h tanh_upwind_recon:326-340,
+    flux de-areaed at recon.h:380-385)."""
     cand_L = rollm(right, -1)  # right edge of cell i-1
+    if utype == "tanh":
+        p = jnp.tanh((flux / area) * coeff)
+        return 0.5 * (cand_L * (1 + p) + left * (1 - p))
     return jnp.where(flux >= 0, cand_L, left)
 
 
-def _upwind_z(bottom, top, flux_int):
+def _upwind_z(bottom, top, flux_int, utype: str = "heaviside",
+              coeff: float = 250.0, area=None):
     """Twisted z recon at interior interfaces k=1..nlev-1: flux>=0 selects
     top-edge of cell k-1 else bottom-edge of cell k. Returns (..., nlev-1, nx)."""
-    return jnp.where(flux_int >= 0, top[..., :-1, :], bottom[..., 1:, :])
+    cand_L = top[..., :-1, :]
+    cand_R = bottom[..., 1:, :]
+    if utype == "tanh":
+        p = jnp.tanh((flux_int / area) * coeff)
+        return 0.5 * (cand_L * (1 + p) + cand_R * (1 - p))
+    return jnp.where(flux_int >= 0, cand_L, cand_R)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -81,6 +101,11 @@ class SpamTendencies:
     grav: float = 9.80616
     ord: int = 5
     force_refstate_hydrostatic_balance: bool = False
+    # numerics knobs (compile-time in the reference, common.h:72-111):
+    # density (dual) reconstruction type and upwinding
+    reconstruction_type: str = "wenofunc"   # "wenofunc"|"weno"|"cfv"
+    dual_upwind_type: str = "heaviside"     # "heaviside"|"tanh"
+    tanh_upwind_coeff: float = 250.0        # params.h:159
     # diffusion coefficients (extrudedmodel.h:207-212; all default 0 = off,
     # matching read_model_params_file defaults, extrudedmodel.h:5020-5078)
     scalar_horiz_diffusion_coeff: float = 0.0
@@ -184,8 +209,10 @@ class SpamTendencies:
             dens0 = op.Hn1bar(dens, g)
 
         # --- horizontal density recon at x-edges of dual cells ---
-        dl, dr = _edge_recon_x(dens0, tb)
-        densrecon = _upwind_x(dl, dr, F[None])
+        dl, dr = _edge_recon_x(dens0, tb, self.reconstruction_type)
+        area_x = jnp.asarray(g.d_area_nm11(), dens.dtype)[:, :, None]
+        densrecon = _upwind_x(dl, dr, F[None], self.dual_upwind_type,
+                              self.tanh_upwind_coeff, area_x)
         he = op.phi_x(rho0)
         if self.ref_rho_pi is not None:
             densrecon = densrecon + (self.ref_rho_pi[None, :, :, None] *
@@ -194,8 +221,11 @@ class SpamTendencies:
 
         # --- vertical density recon at dual interfaces ---
         dens0_zpad = mirror_iface(dens0, hs)
-        db, dt_ = _edge_recon_z(dens0_zpad, tb, g.nz)
-        vert_int = _upwind_z(db, dt_, FW[None, :, 1:-1, :])
+        db, dt_ = _edge_recon_z(dens0_zpad, tb, g.nz,
+                                self.reconstruction_type)
+        vert_int = _upwind_z(db, dt_, FW[None, :, 1:-1, :],
+                             self.dual_upwind_type, self.tanh_upwind_coeff,
+                             g.d_area_n0())
         # boundary rows: use one-sided edge values (multiplied by FW=0 anyway)
         densvertrecon = jnp.concatenate(
             [db[..., :1, :], vert_int, dt_[..., -1:, :]], axis=AXZ)

@@ -195,3 +195,20 @@ def test_unimplemented_thermo_stubs():
         th = thermo_from_string(name)
         with pytest.raises(NotImplementedError):
             th.compute_U(1.0, 300.0)
+
+
+def test_cfv_and_tanh_numerics_options():
+    """RECONSTRUCTION_TYPE::CFV and UPWIND_TYPE::TANH (common.h:72-111,
+    recon.h:326-424): stable, and near the WENOFUNC/HEAVISIDE defaults on a
+    smooth field."""
+    from pam_tpu.driver.standalone import run_idealized
+    base = dict(init_data="risingbubble", crm_nx=16, crm_nz=16, sim_time=3.0,
+                tstype="ssprk3", out_prefix=None)
+    ref, _, _ = run_idealized(base, verbose=False)
+    for kw in (dict(reconstruction_type="cfv"),
+               dict(dual_upwind_type="tanh", tanh_upwind_coeff=250.0)):
+        d, v, w = run_idealized(dict(base, **kw), verbose=False)
+        assert np.isfinite(np.asarray(d)).all(), kw
+        err = float(np.abs(np.asarray(d[1]) - np.asarray(ref[1])).max() /
+                    np.abs(np.asarray(ref[1])).max())
+        assert err < 1e-4, (kw, err)
