@@ -191,6 +191,47 @@ def weno_ideal_weights(ord: int) -> tuple[np.ndarray, float]:
     return idl, sigma
 
 
+def mirror_recon_matrices(dz: np.ndarray, ord: int,
+                          iface: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """Per-cell variable-grid reconstruction matrices for a column with
+    MIRROR halos (the SPAM extruded grid, exchange.h:565-606): the stencil
+    for cell k uses cells k-hs..k+hs with thicknesses reflected at the
+    boundaries. Analog of the reference's variable-grid WENOFUNC matrix
+    setup (weno_func_recon_variable.h + TransformMatrices_variable.h).
+
+    Args:
+      dz: (nz,) or (nens, nz) cell thicknesses of the recon grid.
+      iface: mirror rule — False = layer rule (halo(-1-m)=dz(m)),
+        True = interface rule (halo(-1-m)=dz(m+1)).
+    Returns:
+      (s2c, wrl): shapes (..., nz, ord, ord) and (..., nz, nsub, nsub, nsub).
+    """
+    dz = np.asarray(dz, dtype=np.float64)
+    squeeze = dz.ndim == 1
+    if squeeze:
+        dz = dz[None, :]
+    nens, nz = dz.shape
+    nsub = (ord + 1) // 2
+    half = ord // 2
+    off = 1 if iface else 0
+    pad_lo = dz[:, off:off + half][:, ::-1]
+    pad_hi = dz[:, nz - half - off:nz - off][:, ::-1]
+    dzm = np.concatenate([pad_lo, dz, pad_hi], axis=1)  # (nens, nz+2*half)
+    s2c = np.empty((nens, nz, ord, ord))
+    wrl = np.empty((nens, nz, nsub, nsub, nsub))
+    for e in range(nens):
+        for k in range(nz):
+            dzloc = dzm[e, k:k + ord] / dzm[e, k + half]
+            locs = np.concatenate(([0.0], np.cumsum(dzloc)))
+            mid = 0.5 * (locs[half] + locs[half + 1])
+            locs -= mid
+            s2c[e, k] = sten_to_coefs(locs)
+            wrl[e, k] = weno_lower_sten_to_coefs(locs)
+    if squeeze:
+        return s2c[0], wrl[0]
+    return s2c, wrl
+
+
 def vertical_recon_matrices(dz: np.ndarray, ord: int) -> tuple[np.ndarray, np.ndarray]:
     """Per-interface variable-grid reconstruction matrices for a stretched
     vertical column.

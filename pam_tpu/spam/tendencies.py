@@ -26,6 +26,10 @@ from ..ops import weno
 from . import operators as op
 from .operators import rollm, mirror_layer, mirror_iface, AXZ
 
+# cache of per-level variable-grid recon matrices, keyed by geometry id
+# (geometries are static per run)
+_VERT_TABLE_CACHE: dict = {}
+
 
 def _edge_recon_x(field, tables, recon_type: str = "wenofunc"):
     """Edge reconstruction along x (periodic): for each cell return
@@ -46,9 +50,14 @@ def _edge_recon_x(field, tables, recon_type: str = "wenofunc"):
     return left, right
 
 
-def _edge_recon_z(field_padded, tables, nlev, recon_type: str = "wenofunc"):
+def _edge_recon_z(field_padded, tables, nlev, recon_type: str = "wenofunc",
+                  per_level=None):
     """Edge reconstruction in z for cells 0..nlev-1 from a z-padded
-    array (pad hs on each side): returns (bottom_edge, top_edge) per cell."""
+    array (pad hs on each side): returns (bottom_edge, top_edge) per cell.
+
+    per_level: optional (s2c, wrl) per-level variable-grid matrices with
+    shapes (nens, nlev, ord, ord) / (nens, nlev, nsub, nsub, nsub) — the
+    WENOFUNC stretched-grid path (weno_func_recon_variable.h)."""
     s2c, wrl, tvh, tvl, c2g, idl, sigma = tables
     ord = s2c.shape[-1]
     sl = [slice(None)] * field_padded.ndim
@@ -57,6 +66,13 @@ def _edge_recon_z(field_padded, tables, nlev, recon_type: str = "wenofunc"):
         ss = list(sl)
         ss[AXZ] = slice(s, s + nlev)
         sten.append(field_padded[tuple(ss)])
+    if per_level is not None:
+        # leading [c, s] (+[i] for wrl) dims, trailing (nens, nlev, 1)
+        # batch dims broadcastable against the (…, nens, nlev, nx) stencils
+        s2c = jnp.moveaxis(jnp.asarray(per_level[0], field_padded.dtype),
+                           (-2, -1), (0, 1))[..., None]
+        wrl = jnp.moveaxis(jnp.asarray(per_level[1], field_padded.dtype),
+                           (-3, -2, -1), (0, 1, 2))[..., None]
     if recon_type == "cfv":
         aw = weno.cfv_coefs_list(sten, s2c)
     else:
@@ -124,6 +140,34 @@ class SpamTendencies:
 
     def tables(self):
         return weno.weno_tables(self.ord, dtype=self.geom.dtype)
+
+    def vert_per_level(self):
+        """Per-level variable-grid matrices for the density (dual layer)
+        vertical recon; None on uniform grids (the stretched-grid WENOFUNC
+        path, weno_func_recon_variable.h + the per-level matrix setup of
+        awfl/Dycore.h:897-940 applied to the SPAM mirror halos)."""
+        g = self.geom
+        if g.uniform_vertical:
+            return None
+        key = (id(g), self.ord, "dens")
+        if key not in _VERT_TABLE_CACHE:
+            from ..ops import recon_matrices as rm
+            _VERT_TABLE_CACHE[key] = rm.mirror_recon_matrices(
+                np.asarray(g.dz_d), self.ord, iface=True)
+        return _VERT_TABLE_CACHE[key]
+
+    def vert_per_level_q(self):
+        """Per-level matrices for the qhz vertical recon (grid = primal
+        layers, thickness dz_p); None on uniform grids."""
+        g = self.geom
+        if g.uniform_vertical:
+            return None
+        key = (id(g), self.ord, "q")
+        if key not in _VERT_TABLE_CACHE:
+            from ..ops import recon_matrices as rm
+            _VERT_TABLE_CACHE[key] = rm.mirror_recon_matrices(
+                np.asarray(g.dz_p), self.ord, iface=True)
+        return _VERT_TABLE_CACHE[key]
 
     @property
     def hs(self):
@@ -222,7 +266,8 @@ class SpamTendencies:
         # --- vertical density recon at dual interfaces ---
         dens0_zpad = mirror_iface(dens0, hs)
         db, dt_ = _edge_recon_z(dens0_zpad, tb, g.nz,
-                                self.reconstruction_type)
+                                self.reconstruction_type,
+                                per_level=self.vert_per_level())
         vert_int = _upwind_z(db, dt_, FW[None, :, 1:-1, :],
                              self.dual_upwind_type, self.tanh_upwind_coeff,
                              g.d_area_n0())
@@ -245,7 +290,8 @@ class SpamTendencies:
         qhzrecon = jnp.where(FTW >= 0, qr_, rollm(ql_, 1))
         # vertical: stencil per primal layer k over interfaces (mirror-iface)
         qhz_pad = mirror_iface(qhz, hs)[..., :g.nz - 1 + 2 * hs, :]
-        qb, qt = _edge_recon_z(qhz_pad, tb, g.nz - 1)
+        qb, qt = _edge_recon_z(qhz_pad, tb, g.nz - 1,
+                               per_level=self.vert_per_level_q())
         # straight vert recon at v-level kv from primal-layer cells kv-1 (top)
         # and kv (bottom), upwinded by -FT (the d=0 'twist', recon.h:581-585)
         qt_pad = mirror_layer(qt, 1)   # qt_pad[k] = qt[k-1]
