@@ -87,7 +87,7 @@ def setup_supercell_mmf(nx=65, ny=1, nz=50, nens=1, xlen=128000.0,
                         micro="kessler", sgs="none", dt_gcm=900.0,
                         dt_crm_phys=20.0, perturb_seeds=None,
                         dycore="awfl", crm_per_phys=1,
-                        dycore_kwargs=None):
+                        zint=None, dycore_kwargs=None):
     """Build the full MMF configuration mirroring inputs/input_pamc.yaml
     (65x1x50 cells, 128 km x 64 km, 20 km top) with supercell column init.
     dycore="awfl" (PAM-A) or "spam" (PAM-C: MCE_rho + semi-implicit with
@@ -109,7 +109,13 @@ def setup_supercell_mmf(nx=65, ny=1, nz=50, nens=1, xlen=128000.0,
     elif sgs != "none":
         raise ValueError(f"unknown sgs scheme {sgs!r}")
 
-    zint = np.linspace(0.0, zlen, nz + 1)
+    # vertical interfaces: caller-provided (stretched vcoords grids,
+    # driver.cpp:135-170) or uniform
+    if zint is None:
+        zint = np.linspace(0.0, zlen, nz + 1)
+    else:
+        zint = np.asarray(zint, np.float64)
+        assert len(zint) == nz + 1
     state = cpl.allocate_state(zint)
     state = supercell_column.initialize_from_supercell_column(cpl, state, zint)
     state = broadcast_initial_gcm_column(cpl, state)

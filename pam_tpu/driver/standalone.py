@@ -63,8 +63,8 @@ def run_mmf(cfg: dict, verbose: bool = True):
         dt_crm_phys=cfg["dt_crm_phys"],
         dycore=cfg.get("dycore", "awfl"),
         crm_per_phys=cfg.get("crm_per_phys", 1),
+        zint=zint,
         dtype=jnp.float64 if cfg.get("f64", True) else jnp.float32)
-    # override vertical grid with the file-provided one
     out_freq = cfg.get("out_freq", -1.0)
     writer = None
     if out_freq >= 0:

@@ -105,6 +105,9 @@ def supercell_column_profiles(zcol, c, z_trop=12000.0, T_0=300.0, T_trop=213.0,
     """Supercell sounding at arbitrary heights (temperature, dry pressure,
     capped qv). Ref: Dycore.h:778-830 helpers."""
     z_0 = 0.0
+    # guard against -eps from quadrature-point rounding on stretched grids:
+    # the sounding is defined for z >= 0 and (-eps)**1.25 is NaN
+    zcol = np.maximum(zcol, 0.0)
     if z_top is None:
         z_top = zcol.max()
     lapse_lo = -(T_trop - T_0) / (z_trop - z_0)

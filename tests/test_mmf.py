@@ -112,3 +112,21 @@ def test_coupled_reference_state_balance():
         s = drv.dycore.timestep(s, 20.0)
     assert float(jnp.max(jnp.abs(s["wvel"]))) < 0.5
     assert float(jnp.max(jnp.abs(s["temp"] - state["temp"]))) < 1.5
+
+
+def test_mmf_stretched_vertical_grid():
+    """MMF on a stretched (tanh vcoords) vertical grid, both dycores —
+    the reference's vcoords-file path (driver.cpp:135-170). Regression:
+    quadrature rounding at z=0 must not NaN the supercell sounding."""
+    from pam_tpu.utils.vertical_levels import tanh_levels
+    zint = tanh_levels(20, 0.0, 20000.0)
+    for dyc in ("awfl", "spam"):
+        drv, state = setup_supercell_mmf(nx=16, ny=1, nz=20, nens=1,
+                                         xlen=32000.0, zlen=20000.0,
+                                         micro="kessler", dt_gcm=80.0,
+                                         dt_crm_phys=20.0, dycore=dyc,
+                                         zint=zint)
+        s = jax.jit(drv.gcm_step)(state)
+        t = np.asarray(s["temp"])
+        assert np.isfinite(t).all(), dyc
+        assert t.min() > 180.0 and t.max() < 330.0
