@@ -43,6 +43,8 @@ class ExtrudedGeometry:
     zint_p: np.ndarray   # (nens, nz)   straight interfaces (v-levels)
     dz_p: np.ndarray     # (nens, nz-1) straight layer thicknesses (w-edges)
     dtype: Any = jnp.float64
+    ny: int = 1       # ndims=2 (3-D x-y-z) when > 1
+    ylen: float = 1.0
 
     @property
     def nl_d(self):
@@ -60,20 +62,24 @@ class ExtrudedGeometry:
     def ni_p(self):
         return self.nz
 
-    # --- area entities (ndims=1; geometry.h:402-466) ---
+    # --- area entities (geometry.h:402-466; dy=1 for ndims=1) ---
     # twisted (dual) entities, z-index = dual layer / interface as noted
     def d_area_n1(self):
-        """dual n1 (cell 'volume'): dx*dz_d(k), (nens, nz)."""
-        return self.dx * self.dz_d
+        """dual n1 (cell 'volume'): dx*dy*dz_d(k), (nens, nz)."""
+        return self.dx * self.dy * self.dz_d
 
     def d_area_nm11(self):
-        """dual (n-1,1) = vertical side of dual cell: dz_d(k) (ndims=1:
+        """dual (n-1,1) = x-normal side of dual cell: dy*dz_d(k) (ndims=1:
         area_01), (nens, nz)."""
-        return self.dz_d
+        return self.dy * self.dz_d
+
+    def d_area_nm11_y(self):
+        """dual (n-1,1), y-normal side: dx*dz_d(k) (ndims=2 only)."""
+        return self.dx * self.dz_d
 
     def d_area_n0(self):
-        """dual (n,0) = horizontal face: dx (scalar)."""
-        return self.dx
+        """dual (n,0) = horizontal face: dx*dy (scalar)."""
+        return self.dx * self.dy
 
     def p_area_10(self):
         """primal horizontal edge length: dx."""
@@ -82,6 +88,13 @@ class ExtrudedGeometry:
     def p_area_01(self):
         """primal vertical edge length at w-level kw: dz_p(kw), (nens, nz-1)."""
         return self.dz_p
+
+    @staticmethod
+    def build3d(nx: int, ny: int, zint, xlen: float, ylen: float,
+                nens: int = 1, dtype=jnp.float64) -> "ExtrudedGeometry":
+        """3-D (ndims=2 horizontal + z) grid: periodic x AND y."""
+        g = ExtrudedGeometry.build(nx, zint, xlen, nens=nens, dtype=dtype)
+        return dataclasses.replace(g, ny=ny, ylen=ylen, dy=ylen / ny)
 
     @staticmethod
     def build(nx: int, zint, xlen: float, nens: int = 1,

@@ -89,7 +89,10 @@ class VariableSet:
         return dens[self.dens_id_entr] / dens[self.dens_id_mass]
 
     def get_alpha(self, dens):
-        area = jnp.asarray(self.geom.d_area_n1(), dens.dtype)[:, :, None]
+        area = jnp.asarray(self.geom.d_area_n1(), dens.dtype)
+        # broadcast (nens, nz) over the trailing horizontal dims — works for
+        # both the x-z slab (nens,nz,nx) and the 3-D (nens,nz,ny,nx) layouts
+        area = area.reshape(area.shape + (1,) * (dens[0].ndim - area.ndim))
         return area / dens[self.dens_id_mass]
 
     def _water_dens(self, dens):
