@@ -49,7 +49,7 @@ def profile_n1form(f, geom, nquad: int = 5):
     z0, z1 = zint[:, :-1], zint[:, 1:]
     dz = z1 - z0
     vals = sum(w * f(z0 + p * dz) for p, w in zip(pts, wts))
-    return jnp.asarray(vals * dz * geom.dx)
+    return jnp.asarray(vals * dz * geom.dx * geom.dy)
 
 
 def build_reference_state(geom, thermo, varset, refrho_f,
@@ -68,7 +68,7 @@ def build_reference_state(geom, thermo, varset, refrho_f,
 
     # rho_pi / unscaled q_pi at primal levels = Hn1bar (diagonal) of dens
     dzd = np.asarray(geom.dz_d)            # (nens, nz)
-    dens0 = dens / (geom.dx * dzd)         # (ndens, nens, nz)
+    dens0 = dens / (geom.dx * geom.dy * dzd)   # (ndens, nens, nz)
     rho_pi = dens0[varset.dens_id_mass]
     q_pi = dens0.copy()
     # rho_di / q_di at dual interfaces (boundary copy + interior average)
@@ -84,7 +84,7 @@ def build_reference_state(geom, thermo, varset, refrho_f,
     if Nsq_pi.shape != rho_pi.shape:
         Nsq_pi = np.broadcast_to(Nsq_pi, rho_pi.shape).copy()
     # ref B (fac=-1; compressible_euler.h compute_dHsdx:77-112)
-    geop0 = geop / (geom.dx * dzd)
+    geop0 = geop / (geom.dx * geom.dy * dzd)
     alpha = 1.0 / rho_pi
     sv = q_pi[varset.dens_id_entr]
     U = np.asarray(thermo.compute_U(alpha, sv))
@@ -108,7 +108,7 @@ def build_moist_reference_state(geom, thermo, varset, refdens, refnsq_f,
     """
     nz, nens = geom.nz, geom.nens
     refdens = np.asarray(refdens, np.float64)
-    vol = geom.dx * np.asarray(geom.dz_d)
+    vol = geom.dx * geom.dy * np.asarray(geom.dz_d)
     geop = np.asarray(profile_n1form(lambda z: flat_geop(z, grav), geom))
 
     q_pi = refdens / vol                       # unscaled (Hn1bar diagonal)
@@ -180,7 +180,7 @@ def build_coupled_reference_state(state, geom, thermo, varset, grav):
     sv = np.asarray(thermo.compute_entropic_var_from_alpha_T(
         alpha, temp, qd, qv, ql, qi))
 
-    vol = geom.dx * np.asarray(geom.dz_d)                       # (nens, nz)
+    vol = geom.dx * geom.dy * np.asarray(geom.dz_d)                       # (nens, nz)
     dens = np.zeros((ndens, nens, nz))
     dens[varset.dens_id_mass] = rho * vol
     dens[varset.dens_id_entr] = sv * rho * vol

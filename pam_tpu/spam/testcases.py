@@ -593,3 +593,148 @@ def testcase_from_string(name: str):
     """Returns (testcase instance, moist flag)."""
     cls, moist = TESTCASE_REGISTRY[name.lower()]
     return cls(), moist
+
+
+# ---------------------------------------------------------------------------
+# 3-D (ndims=2) initial conditions — the reference's max_ndims=2 cases are
+# RisingBubble (extrudedmodel.h:6195), its moist variant (6442, inherited)
+# and Supercell (7050); their 3-D forms replace the 2-D bubble radius with
+# the spherical/ellipsoidal r including (y - yc).
+# ---------------------------------------------------------------------------
+
+def project_n1form_3d(f3, geom, nq: int = 5):
+    """Cell-average projection of f3(x, y, z) over 3-D dual cells by
+    tensor-product Gauss quadrature. Returns (nens, nz, ny, nx) n-forms
+    (integral = avg * dx * dy * dz)."""
+    qp, qw = _gauss_legendre(nq)
+    nx, ny, nz, nens = geom.nx, geom.ny, geom.nz, geom.nens
+    dx, dy = geom.dx, geom.dy
+    # quadrature axes: a (x), b (y), c (z)
+    xq = ((np.arange(nx))[:, None] * dx + qp[None, :] * dx)    # (nx, nq)
+    yq = ((np.arange(ny))[:, None] * dy + qp[None, :] * dy)    # (ny, nq)
+    zint = geom.zint_d
+    zlo = zint[:, :-1]
+    dzd = geom.dz_d
+    zq = zlo[:, :, None] + qp[None, None, :] * dzd[:, :, None]  # (nens,nz,nq)
+    vals = f3(xq[None, None, None, :, None, None, :],            # x
+              yq[None, None, :, None, None, :, None],            # y
+              zq[:, :, None, None, :, None, None])               # z
+    vals = np.broadcast_to(vals, (nens, nz, ny, nx, nq, nq, nq))
+    avg = np.einsum('ekyxcba,a,b,c->ekyx', vals, qw, qw, qw)
+    return avg * dx * dy * dzd[:, :, None, None]
+
+
+def _r3(tc, x, y, z):
+    yc = 0.5 * getattr(tc, "Ly", tc.Lx)
+    return np.sqrt((x - tc.xc) ** 2 + (y - yc) ** 2 + (z - tc.bzc) ** 2)
+
+
+def _bubble_entropicvar_3d(tc, x, y, z, thermo):
+    """RisingBubble::entropicvar_f, ndims=2 branch (extrudedmodel.h
+    :6252-6262)."""
+    cst = thermo.cst
+    p = isentropic_p(z, tc.theta0, tc.g, cst)
+    T = isentropic_T(z, tc.theta0, tc.g, cst)
+    r = _r3(tc, x, y, z)
+    dtheta = np.where(r < tc.rc,
+                      tc.dss * 0.5 * (1.0 + np.cos(np.pi * r / tc.rc)), 0.0)
+    dT = dtheta * (p / cst.pr) ** cst.kappa_d
+    return thermo.compute_entropic_var_from_p_T(p, T + dT, 1.0, 0, 0, 0)
+
+
+def _bubble_rhov_3d(tc, x, y, z, thermo):
+    """MoistRisingBubble::rhov_f with the spherical radius (:6450-6465)."""
+    r = _r3(tc, x, y, z)
+    rh = np.where(r < tc.rc,
+                  tc.rh0 * 0.5 * (1.0 + np.cos(np.pi * r / tc.rc)), 0.0)
+    Th = isentropic_T(z, tc.theta0, tc.g, thermo.cst)
+    pv = saturation_vapor_pressure(Th) * rh
+    return pv / (thermo.cst.Rv * Th)
+
+
+def setup_testcase_3d(tc, geom, thermo):
+    """Build 3-D initial (dens, v, w, geop) for RisingBubble /
+    MoistRisingBubble (EulerTestCase/MoistEulerTestCase::initialize with
+    ndims=2 projections, extrudedmodel.h:5325-5620)."""
+    dtype = geom.dtype
+    moist = isinstance(tc, MoistRisingBubble)
+    if moist:
+        def rho3(x, y, z):
+            return (tc.rhod_f(x, z, thermo) +
+                    _bubble_rhov_3d(tc, x, y, z, thermo))
+        dens_rho = project_n1form_3d(rho3, geom)
+        dens_S = project_n1form_3d(
+            lambda x, y, z: rho3(x, y, z) *
+            moist_entropicvar(tc, x, y, z, thermo), geom)
+        dens_v = project_n1form_3d(
+            lambda x, y, z: _bubble_rhov_3d(tc, x, y, z, thermo), geom)
+        parts = [dens_rho, dens_S, dens_v]
+    else:
+        dens_rho = project_n1form_3d(
+            lambda x, y, z: tc.rho_f(x, z, thermo), geom)
+        dens_S = project_n1form_3d(
+            lambda x, y, z: tc.rho_f(x, z, thermo) *
+            _bubble_entropicvar_3d(tc, x, y, z, thermo), geom)
+        parts = [dens_rho, dens_S]
+    geop = project_n1form_3d(lambda x, y, z: tc.g * z + 0.0 * x + 0.0 * y,
+                             geom)
+    dens = jnp.stack([jnp.asarray(p, dtype) for p in parts])
+    v = jnp.zeros((2, geom.nens, geom.nz, geom.ny, geom.nx), dtype)
+    w = jnp.zeros((geom.nens, geom.nz - 1, geom.ny, geom.nx), dtype)
+    return dens, v, w, jnp.asarray(geop, dtype)
+
+
+def moist_entropicvar(tc, x, y, z, thermo):
+    """MoistRisingBubble entropic variable from the moist state
+    (MoistEulerTestCase::initialize, extrudedmodel.h:5538-5620)."""
+    cst = thermo.cst
+    p = isentropic_p(z, tc.theta0, tc.g, cst)
+    T = isentropic_T(z, tc.theta0, tc.g, cst)
+    rho_d = tc.rhod_f(x, z, thermo)
+    rho_v = _bubble_rhov_3d(tc, x, y, z, thermo)
+    rho = rho_d + rho_v
+    qv = rho_v / rho
+    return thermo.compute_entropic_var_from_p_T(p, T, 1.0 - qv, qv, 0, 0)
+
+
+def setup_supercell_3d(tc, geom, thermo, varset):
+    """3-D Supercell ICs: reference columns + ellipsoidal θ' bubble with
+    (rx, ry, rz) and the u(z) shear (Supercell::tht_perturb_f ndims=2 +
+    initialize, extrudedmodel.h:7102-7287)."""
+    from . import si as si_mod
+
+    rho, thtv, qv = tc.build_columns(geom, thermo)   # (nens, nz)
+    vol = geom.dx * geom.dy * np.asarray(geom.dz_d)
+    refdens = np.zeros((varset.ndensity, geom.nens, geom.nz))
+    refdens[varset.dens_id_mass] = rho * vol
+    refdens[varset.dens_id_entr] = rho * thtv * vol
+    refdens[varset.dens_id_vap] = rho * qv * vol
+    refstate = si_mod.build_moist_reference_state(
+        geom, thermo, varset, refdens, tc.refnsq_f, tc.g)
+
+    nx, ny = geom.nx, geom.ny
+    dens = np.broadcast_to(refdens[:, :, :, None, None],
+                           refdens.shape + (ny, nx)).copy()
+    xmid = (np.arange(nx) + 0.5) * geom.dx
+    ymid = (np.arange(ny) + 0.5) * geom.dy
+    zmid = np.asarray(geom.zmid_d)                   # (nens, nz)
+    ry_ = getattr(tc, "ry", tc.rx)
+    ybc = 0.5 * geom.ylen
+    dxn = (xmid[None, None, None, :] - tc.xbc_frac * tc.Lx) / tc.rx
+    dyn = (ymid[None, None, :, None] - ybc) / ry_
+    dzn = (zmid[:, :, None, None] - tc.zbc) / tc.rz
+    r = np.sqrt(dxn * dxn + dyn * dyn + dzn * dzn)
+    pert = np.where(r < 1, tc.dtht * np.cos(np.pi * r / 2) ** 2, 0.0)
+    dens[varset.dens_id_entr] += pert * \
+        refdens[varset.dens_id_mass][:, :, None, None]
+
+    u = tc.u_f(np.asarray(geom.zint_p))              # (nens, nz)
+    v0 = np.broadcast_to((u * geom.dx)[:, :, None, None],
+                         (geom.nens, geom.nz, ny, nx))
+    v = np.stack([v0, np.zeros_like(v0)])
+    dtype = geom.dtype
+    geop = project_n1form_3d(lambda x, y, z: tc.g * z + 0.0 * x + 0.0 * y,
+                             geom)
+    return (jnp.asarray(dens, dtype), jnp.asarray(v, dtype),
+            jnp.zeros((geom.nens, geom.nz - 1, ny, nx), dtype),
+            jnp.asarray(geop, dtype), refstate)
