@@ -524,12 +524,14 @@ def _discrete_gradient(tend, x, xn, geop, pts, wts):
     points are evaluated in one vmapped (batched) call — fewer, wider TPU
     kernels than the reference's sequential loop."""
     dens, v, w = x
-    md = (1 - pts)[:, None, None, None, None] * dens + \
-        pts[:, None, None, None, None] * xn[0]
-    mv = (1 - pts)[:, None, None, None] * v + \
-        pts[:, None, None, None] * xn[1]
-    mw = (1 - pts)[:, None, None, None] * w + \
-        pts[:, None, None, None] * xn[2]
+
+    def blend(a, b):
+        p = pts.reshape((-1,) + (1,) * a.ndim)
+        return (1 - p) * a + p * b
+
+    md = blend(dens, xn[0])
+    mv = blend(v, xn[1])
+    mw = blend(w, xn[2])
     Fq, FWq, _, Bq = jax.vmap(
         lambda d_, v_, w_: tend.functional_derivatives(d_, v_, w_, geop)
     )(md, mv, mw)
@@ -596,3 +598,240 @@ def si_fixed_step(tend, dens, v, w, geop, dt, max_iters: int = 5,
         xm = tuple(0.5 * (a + b) for a, b in zip(x, xn))
         dx = _apply_symplectic_full(tend, xm, Fa, FWa, Ba, dt)
     return tuple(a - dt * b for a, b in zip(x, dx))
+
+
+# ---------------------------------------------------------------------------
+# Compressible PRESSURE linear system (the reference default,
+# params.linear_system == "pressure") — supports ndims=1 AND ndims=2
+# ---------------------------------------------------------------------------
+
+def _tridiag_real(L, D, U, R):
+    """Thomas solve with real (nens, nz, ...) coefficient stacks on a
+    possibly-complex rhs of the same trailing shape; scan over level axis 1
+    (extrudedmodel.h solve_for_pressure:3806-3830)."""
+    Lm = jnp.moveaxis(L, 1, 0)
+    Dm = jnp.moveaxis(D, 1, 0)
+    Um = jnp.moveaxis(U, 1, 0)
+    Rm = jnp.moveaxis(R, 1, 0)
+
+    def fwd(carry, x):
+        c_prev, y_prev = carry
+        lk, dk, uk, rk = x
+        denom = dk - lk * c_prev
+        ck = uk / denom
+        yk = (rk - lk * y_prev) / denom
+        return (ck, yk), (ck, yk)
+
+    czero = jnp.zeros_like(Rm[0])
+    _, (cs, ys) = jax.lax.scan(fwd, (jnp.real(czero), czero),
+                               (Lm, Dm, Um, Rm))
+
+    def bwd(x_next, x):
+        ck, yk = x
+        xk = yk - ck * x_next
+        return xk, xk
+
+    _, xs = jax.lax.scan(bwd, czero, (cs[::-1], ys[::-1]))
+    return jnp.moveaxis(xs[::-1], 0, 1)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class CompressiblePressureLinearSystem:
+    """(I + dt^2/4 L)^-1 via a pressure Helmholtz solve: horizontal FFT +
+    vertical tridiagonal in p, then velocity/density updates
+    (CompressiblePressureLinearSystem, extrudedmodel.h:3530-3970). Works on
+    both the x-z slab layout (nens, nz, nx) and the 3-D layout
+    (nens, nz, ny, nx) — the reference's ONLY compressible SI path for
+    ndims=2 (the velocity solver throws, extrudedmodel.h:2561-2564)."""
+    geom: Any
+    varset: Any
+    dt: float
+    ndims: int
+    linp: np.ndarray          # (nact, nens, nz)
+    tri_l: np.ndarray         # (nens, nz, [nyf,] nxf) real
+    tri_d: np.ndarray
+    tri_u: np.ndarray
+    q_pi: np.ndarray          # (ndens, nens, nz)
+    q_di: np.ndarray          # (ndens, nens, nz+1)
+    rho_pi: np.ndarray        # (nens, nz)
+    rho_di: np.ndarray        # (nens, nz+1)
+
+    @staticmethod
+    def build(geom, thermo, varset, refstate, dt):
+        """compute_coefficients (extrudedmodel.h:3545-3660)."""
+        nz, nens = geom.nz, geom.nens
+        ndims = 2 if geom.ny > 1 else 1
+        al = dt / 2.0
+
+        rho_pi = np.asarray(refstate["rho_pi"])
+        q_pi = np.asarray(refstate["q_pi"])
+        rho_di = np.asarray(refstate["rho_di"])
+        q_di = np.asarray(refstate["q_di"])
+
+        # linear pressure coefficients (variableset.h linear_pressure_coeffs
+        # VS_CE:1072 / VS_MCE_rho:1576)
+        alpha_ref = 1.0 / rho_pi
+        sv = q_pi[varset.dens_id_entr]
+        if varset.variant == "CE":
+            qv = np.zeros_like(sv)
+        else:
+            qv = q_pi[varset.dens_id_vap]
+        qd = 1.0 - qv
+        z = np.zeros_like(sv)
+        cs = np.asarray(thermo.compute_soundspeed(alpha_ref, sv, qd, qv, z, z))
+        dpds = np.asarray(thermo.compute_dpdentropic_var(alpha_ref, sv, qd,
+                                                         qv, z, z))
+        linp = np.zeros((varset.ndensity_active, nens, nz))
+        linp[varset.active_id_mass] = cs * cs - sv * alpha_ref * dpds
+        linp[varset.active_id_entr] = alpha_ref * dpds
+
+        # fourier symbols of cw D0 Dnm1bar per horizontal direction
+        thx = 2.0 * np.pi * np.arange(geom.nx // 2 + 1) / geom.nx  # rfft bins
+        fDDx = 2.0 * (np.cos(thx) - 1.0)
+        dzd = np.asarray(geom.dz_d)                  # (nens, nz)
+        dzp = np.asarray(geom.dz_p)
+        fHn1bar = 1.0 / (geom.dx * geom.dy * dzd)    # (nens, nz)
+        fH1x = dzd * geom.dy / geom.dx
+        if ndims == 2:
+            thy = 2.0 * np.pi * np.arange(geom.ny) / geom.ny
+            fDDy = 2.0 * (np.cos(thy) - 1.0)
+            fH1y = dzd * geom.dx / geom.dy
+            horiz = (fH1x[:, :, None, None] * fDDx[None, None, None, :] +
+                     fH1y[:, :, None, None] * fDDy[None, None, :, None])
+            shape = (nens, nz, geom.ny, geom.nx // 2 + 1)
+        else:
+            horiz = fH1x[:, :, None] * fDDx[None, None, :]
+            shape = (nens, nz, geom.nx // 2 + 1)
+
+        qlinp = np.einsum('aek,aek->ek', q_pi[:varset.ndensity_active],
+                          linp)
+        ex = (Ellipsis,) + (None,) * (len(shape) - 2)
+        tri_d = 1.0 - (al * al) * (fHn1bar * qlinp)[ex] * horiz
+        tri_u = np.zeros(shape)
+        tri_l = np.zeros(shape)
+
+        # vertical couplings (H01 diagonal = dx*dy/dz_p at interior
+        # interfaces; rhofac as :3636-3648)
+        H01d = np.zeros((nens, nz + 1))
+        H01d[:, 1:nz] = geom.dx * geom.dy / dzp
+        inv_rho_pi = 1.0 / rho_pi
+        rhofac = np.zeros((nens, nz + 1))
+        rhofac[:, 1:nz] = rho_di[:, 1:nz] * 0.5 * (inv_rho_pi[:, 1:] +
+                                                   inv_rho_pi[:, :-1])
+        k = np.arange(nz)
+        diag_add = np.zeros((nens, nz))
+        up = np.zeros((nens, nz))
+        lo = np.zeros((nens, nz))
+        for d in range(varset.ndensity_active):
+            alpha_k = -(al * al) * fHn1bar * linp[d]       # (nens, nz)
+            beta_kp1 = q_di[d][:, 1:] * rhofac[:, 1:] * H01d[:, 1:]   # at k+1
+            beta_k = q_di[d][:, :-1] * rhofac[:, :-1] * H01d[:, :-1]  # at k
+            up += alpha_k * beta_kp1
+            lo += alpha_k * beta_k
+            both = beta_kp1 + beta_k
+            both[:, 0] = beta_kp1[:, 0]
+            both[:, -1] = beta_k[:, -1]
+            diag_add += -alpha_k * both
+        tri_u += up[ex]
+        tri_l += lo[ex]
+        tri_d += diag_add[ex]
+
+        return CompressiblePressureLinearSystem(
+            geom=geom, varset=varset, dt=dt, ndims=ndims, linp=linp,
+            tri_l=tri_l, tri_d=tri_d, tri_u=tri_u, q_pi=q_pi, q_di=q_di,
+            rho_pi=rho_pi, rho_di=rho_di)
+
+    # ------------------------------------------------------------------
+    def _expand(self, a, extra=0):
+        """(nens, nz[+1]) column -> broadcastable against fields."""
+        return jnp.asarray(a)[(Ellipsis,) + (None,) * (self.ndims + extra)]
+
+    def _mass_fluxes(self, v, w):
+        """F(d) = H10(v)·rho_pi; FW = H01(w)·rho_di interior, 0 at bnd
+        (prepare_pressure_rhs / update_densities flux build)."""
+        g = self.geom
+        dtype = w.dtype
+        dzd = self._expand(g.dz_d)
+        rho_pi_x = self._expand(self.rho_pi)
+        if self.ndims == 2:
+            F0 = v[0] * (dzd * g.dy / g.dx) * rho_pi_x
+            F1 = v[1] * (dzd * g.dx / g.dy) * rho_pi_x
+            F = (F0, F1)
+        else:
+            F = (v * (dzd * g.dy / g.dx) * rho_pi_x,)
+        dzp = self._expand(jnp.asarray(g.dz_p, dtype))
+        FW_in = w * (g.dx * g.dy / dzp) * \
+            self._expand(self.rho_di[:, 1:g.nz])
+        za = -2 - (self.ndims - 1)          # z axis in field layout
+        sl = [slice(None)] * FW_in.ndim
+        sl[za] = slice(0, 1)
+        zr = jnp.zeros_like(FW_in[tuple(sl)])
+        FW = jnp.concatenate([zr, FW_in, zr], axis=za)
+        return F, FW
+
+    def _weighted_div(self, F, FW, nd):
+        """(Dnm1bar q·F + vert q·FW) for densities 0..nd-1."""
+        q_pi = self._expand(self.q_pi[:nd], extra=0)
+        q_di = self._expand(self.q_di[:nd], extra=0)
+        za = -2 - (self.ndims - 1)          # z axis in field layout
+        if self.ndims == 2:
+            fx = q_pi * F[0][None]
+            fy = q_pi * F[1][None]
+            div = (jnp.roll(fx, -1, -1) - fx) + (jnp.roll(fy, -1, -2) - fy)
+        else:
+            fx = q_pi * F[0][None]
+            div = jnp.roll(fx, -1, -1) - fx
+        fz = q_di * FW[None]
+        sl_hi = [slice(None)] * fz.ndim
+        sl_lo = [slice(None)] * fz.ndim
+        sl_hi[za] = slice(1, None)
+        sl_lo[za] = slice(None, -1)
+        return div + (fz[tuple(sl_hi)] - fz[tuple(sl_lo)])
+
+    def solve(self, rhs_dens, rhs_v, rhs_w):
+        """(extrudedmodel.h PressureLinearSystem::solve:3234-3247 with the
+        compressible prepare/solve/update stages)."""
+        g = self.geom
+        nact = self.varset.ndensity_active
+        dt = self.dt
+        za = -2 - (self.ndims - 1)
+        dzd = self._expand(jnp.asarray(g.dz_d, rhs_w.dtype))
+
+        F, FW = self._mass_fluxes(rhs_v, rhs_w)
+        mf = rhs_dens[:nact] - 0.5 * dt * self._weighted_div(F, FW, nact)
+        B = mf / (g.dx * g.dy * dzd)                     # Hn1bar
+        linp = self._expand(self.linp)
+        prhs = jnp.einsum('a...,a...->...', linp, B)
+
+        phat = jnp.fft.rfft(prhs, axis=-1)
+        if self.ndims == 2:
+            phat = jnp.fft.fft(phat, axis=-2)
+        phat = _tridiag_real(jnp.asarray(self.tri_l, prhs.dtype),
+                             jnp.asarray(self.tri_d, prhs.dtype),
+                             jnp.asarray(self.tri_u, prhs.dtype), phat)
+        if self.ndims == 2:
+            phat = jnp.fft.ifft(phat, axis=-2)
+        p = jnp.fft.irfft(phat, n=g.nx, axis=-1).astype(rhs_w.dtype)
+
+        # velocity update (:3860-3917)
+        sl_hi = [slice(None)] * p.ndim
+        sl_lo = [slice(None)] * p.ndim
+        sl_hi[za] = slice(1, None)
+        sl_lo[za] = slice(None, -1)
+        dpdz = p[tuple(sl_hi)] - p[tuple(sl_lo)]
+        sol_w = rhs_w - 0.5 * dt * dpdz / \
+            self._expand(self.rho_di[:, 1:g.nz])
+        rho_pi_x = self._expand(self.rho_pi)
+        dpdx = p - jnp.roll(p, 1, -1)
+        if self.ndims == 2:
+            dpdy = p - jnp.roll(p, 1, -2)
+            sol_v = jnp.stack([rhs_v[0] - 0.5 * dt * dpdx / rho_pi_x,
+                               rhs_v[1] - 0.5 * dt * dpdy / rho_pi_x])
+        else:
+            sol_v = rhs_v - 0.5 * dt * dpdx / rho_pi_x
+
+        # density update with ALL prognostic densities (:3919-3969)
+        F, FW = self._mass_fluxes(sol_v, sol_w)
+        ndens = rhs_dens.shape[0]
+        sol_dens = rhs_dens - 0.5 * dt * self._weighted_div(F, FW, ndens)
+        return sol_dens, sol_v, sol_w

@@ -138,3 +138,85 @@ def test_si_dycore_wrapper():
     m0 = float((state["density_dry"] + state["water_vapor"]).sum())
     m1 = float((out["density_dry"] + out["water_vapor"]).sum())
     assert abs(m1 - m0) / m0 < 1e-12
+
+
+def test_pressure_linear_system_matches_velocity_system():
+    """The pressure-based solver (the reference DEFAULT linear_system,
+    extrudedmodel.h:5059) drives the same SI iteration as the velocity
+    solver: both converge to the same step on the gravity wave."""
+    tc, geom, th, vs, tend, ref, dens, v, w, geop = _setup()
+    dt = 10.0
+    linv = si.CompressibleVelocityLinearSystem.build(geom, th, vs, ref, dt,
+                                                     grav=tc.g)
+    linp = si.CompressiblePressureLinearSystem.build(geom, th, vs, ref, dt)
+    # more iterations -> both converge to the same nonlinear solution
+    dv, vv, wv = si.si_step(tend, linv, dens, v, w, geop, dt, max_iters=8)
+    dp, vp, wp = si.si_step(tend, linp, dens, v, w, geop, dt, max_iters=8)
+    scale = float(jnp.max(jnp.abs(vv))) + 1e-30
+    assert float(jnp.max(jnp.abs(vv - vp))) / scale < 1e-6
+    wscale = float(jnp.max(jnp.abs(wv))) + 1e-30
+    assert float(jnp.max(jnp.abs(wv - wp))) / wscale < 1e-5
+
+
+def test_pressure_si_stable_beyond_acoustic_cfl():
+    tc, geom, th, vs, tend, ref, dens, v, w, geop = _setup()
+    dt = 10.0
+    lin = si.CompressiblePressureLinearSystem.build(geom, th, vs, ref, dt)
+    step = jax.jit(lambda a, b, c: si.si_step(tend, lin, a, b, c, geop, dt))
+    E0 = float(tend.energy(dens, v, w, geop)[0][0])
+    m0 = float(dens[0].sum())
+    d_, v_, w_ = dens, v, w
+    for _ in range(60):
+        d_, v_, w_ = step(d_, v_, w_)
+    assert bool(jnp.isfinite(d_).all())
+    E1 = float(tend.energy(d_, v_, w_, geop)[0][0])
+    assert abs(float(d_[0].sum()) - m0) / m0 < 1e-13
+    assert abs(E1 - E0) / abs(E0) < 1e-9
+    dzp = float(np.mean(geom.dz_p))
+    assert float(jnp.max(jnp.abs(w_))) / dzp < 0.05
+
+
+def test_pressure_si_3d_bubble():
+    """3-D SI: rising bubble on (x, y, z) at dt far beyond the acoustic
+    limit — the ndims=2 SI configuration the reference only reaches through
+    the pressure system."""
+    from pam_tpu.spam.testcases import RisingBubble
+    from pam_tpu.spam.extruded3d import Tendencies3D
+    tc = RisingBubble()
+    nx = ny = 12
+    nz = 12
+    zint = np.linspace(0, tc.Lz, nz + 1)
+    geom = ExtrudedGeometry.build3d(nx, ny, zint, tc.Lx, tc.Lx, 1,
+                                    jnp.float64)
+    thermo = IdealGasPottemp(ThermoConstants())
+    vs = VariableSet(variant="CE", geom=geom, thermo=thermo)
+    ref = si.build_reference_state(
+        geom, thermo, vs, lambda z: tc.refrho_f(z, thermo),
+        lambda z: tc.refentropicdensity_f(z, thermo),
+        lambda z: np.asarray(tc.refnsq_f(z, thermo)), tc.g)
+    J = jnp.asarray
+    tend = Tendencies3D(
+        geom=geom, varset=vs, thermo=thermo, grav=tc.g,
+        force_refstate_hydrostatic_balance=True,
+        refdens=J(ref["dens"]), ref_rho_pi=J(ref["rho_pi"]),
+        ref_q_pi=J(ref["q_pi"]), ref_rho_di=J(ref["rho_di"]),
+        ref_q_di=J(ref["q_di"]), ref_B=J(ref["B"]))
+    from pam_tpu.spam.testcases import setup_testcase_3d
+    dens, v, w, geop = setup_testcase_3d(tc, geom, thermo)
+    dt = 2.0   # acoustic limit ~ dz/cs = 125/347 ~ 0.36 s
+    lin = si.CompressiblePressureLinearSystem.build(geom, thermo, vs, ref,
+                                                    dt)
+    step = jax.jit(lambda a, b, c: si.si_step(tend, lin, a, b, c, geop, dt))
+    m0 = float(dens[0].sum())
+    s0 = float(dens[1].sum())
+    d_, v_, w_ = dens, v, w
+    for _ in range(20):   # 40 s
+        d_, v_, w_ = step(d_, v_, w_)
+    assert bool(jnp.isfinite(d_).all())
+    assert bool(jnp.isfinite(w_).all())
+    assert abs(float(d_[0].sum()) - m0) / m0 < 1e-13
+    assert abs(float(d_[1].sum()) - s0) / s0 < 1e-13
+    # bubble rises: positive w at the (spherical) bubble center column
+    wphys = np.asarray(w_)[0] / np.asarray(geom.dz_p)[0][:, None, None]
+    assert wphys.max() > 1e-3
+    assert wphys.max() < 5.0
