@@ -45,12 +45,14 @@ def main():
     # PAM-C (SPAM + semi-implicit) is the reference's production MMF dycore
     # (inputs/input_pamc.yaml); PAM_BENCH_DYCORE=awfl benches PAM-A instead.
     dycore = os.environ.get("PAM_BENCH_DYCORE", "spam")
+    linsys = os.environ.get("PAM_BENCH_LINSYS", "velocity")
+    dycore_kwargs = {"linear_system": linsys} if dycore == "spam" else None
 
     log(f"devices: {jax.devices()}")
     drv, state = setup_supercell_mmf(
         nx=nx, ny=ny, nz=nz, nens=nens, xlen=128000.0, ylen=64000.0,
         zlen=20000.0, micro="kessler", dt_gcm=900.0, dt_crm_phys=20.0,
-        dycore=dycore, dtype=jnp.float32)
+        dycore=dycore, dtype=jnp.float32, dycore_kwargs=dycore_kwargs)
     state = gcm_forcing.compute_gcm_forcing_tendencies(
         drv.coupler, state, drv.dt_gcm)
 

@@ -84,7 +84,8 @@ class SpamDycore:
     @staticmethod
     def build_coupled(coupler: Coupler, state, zint, dt_si,
                       si_max_iters: int = 3, si_nquad: int = 2,
-                      variant: str = "MCE_rho") -> "SpamDycore":
+                      variant: str = "MCE_rho",
+                      linear_system: str = "velocity") -> "SpamDycore":
         """Full coupled setup mirroring the reference's MMF configuration:
         MCE_rho + ConstantKappa_VirtualPottemp, thermo constants copied from
         the coupler, SI reference state built from the coupler's ref_*
@@ -99,7 +100,7 @@ class SpamDycore:
         refstate = si_mod.build_coupled_reference_state(
             state, dyc.geom, thermo, dyc.varset, coupler.const.grav)
         return dyc.with_si(refstate, dt_si, max_iters=si_max_iters,
-                           nquad=si_nquad)
+                           nquad=si_nquad, linear_system=linear_system)
 
     # ------------------------------------------------------- conversions
     def coupler_to_dynamics(self, state):
@@ -176,21 +177,34 @@ class SpamDycore:
         dz = float(np.min(self.geom.dz_d))
         return cfl * min(self.geom.dx, dz) / cs
 
-    def with_si(self, refstate, dt_si, max_iters: int = 3, nquad: int = 2):
+    def with_si(self, refstate, dt_si, max_iters: int = 3, nquad: int = 2,
+                linear_system: str = "velocity"):
         """Return a copy configured for semi-implicit stepping at fixed
         dt_si with the given reference state (ref tstype="si" +
         set_reference_state; timestep then takes dt_si-sized SI steps
-        regardless of the acoustic CFL)."""
+        regardless of the acoustic CFL). linear_system: "velocity"
+        (buoyancy-coupled — stable for the stratified coupled MMF config)
+        or "pressure" (the reference YAML default, extrudedmodel.h:5059;
+        like the reference's plain pressure system it lacks gravity in the
+        linear operator and can destabilize strongly stratified columns at
+        large dt — that is what pressure_gravity exists for)."""
         from . import si as si_mod
-        J = jnp.asarray
+        J = lambda a: jnp.asarray(a, self.coupler.dtype)
         tend = dataclasses.replace(
             self.tend, force_refstate_hydrostatic_balance=True,
             refdens=J(refstate["dens"]), ref_rho_pi=J(refstate["rho_pi"]),
             ref_q_pi=J(refstate["q_pi"]), ref_rho_di=J(refstate["rho_di"]),
             ref_q_di=J(refstate["q_di"]), ref_B=J(refstate["B"]))
-        linsys = si_mod.CompressibleVelocityLinearSystem.build(
-            self.geom, self.thermo, self.varset, refstate, dt_si,
-            grav=self.grav)
+        if linear_system == "pressure":
+            linsys = si_mod.CompressiblePressureLinearSystem.build(
+                self.geom, self.thermo, self.varset, refstate, dt_si)
+        elif linear_system == "pressure_gravity":
+            linsys = si_mod.CompressiblePressureGravityLinearSystem.build(
+                self.geom, self.thermo, self.varset, refstate, dt_si)
+        else:
+            linsys = si_mod.CompressibleVelocityLinearSystem.build(
+                self.geom, self.thermo, self.varset, refstate, dt_si,
+                grav=self.grav)
         return dataclasses.replace(self, tend=tend, si_linsys=linsys,
                                    si_dt=dt_si, si_max_iters=max_iters,
                                    si_nquad=nquad)

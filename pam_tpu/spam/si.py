@@ -93,8 +93,12 @@ def build_reference_state(geom, thermo, varset, refrho_f,
     B = np.zeros((varset.ndensity_active, geom.nens, nz))
     B[varset.dens_id_mass] = -(geop0 + U + p * alpha - sv * gexner)
     B[varset.dens_id_entr] = -gexner
+    pres_pi = np.asarray(thermo.solve_p(rho_pi, sv))
+    sv_di = q_di[varset.dens_id_entr]
+    pres_di = np.asarray(thermo.solve_p(rho_di, sv_di))
     return dict(dens=dens, geop=geop, rho_pi=rho_pi, q_pi=q_pi,
-                rho_di=rho_di, q_di=q_di, Nsq_pi=Nsq_pi, B=B)
+                rho_di=rho_di, q_di=q_di, Nsq_pi=Nsq_pi, B=B,
+                pres_pi=pres_pi, pres_di=pres_di)
 
 
 def build_moist_reference_state(geom, thermo, varset, refdens, refnsq_f,
@@ -742,9 +746,16 @@ class CompressiblePressureLinearSystem:
             rho_pi=rho_pi, rho_di=rho_di)
 
     # ------------------------------------------------------------------
+    _solve_dtype = None  # set per-solve so static columns match the rhs
+
     def _expand(self, a, extra=0):
-        """(nens, nz[+1]) column -> broadcastable against fields."""
-        return jnp.asarray(a)[(Ellipsis,) + (None,) * (self.ndims + extra)]
+        """(nens, nz[+1]) column -> broadcastable against fields, cast to
+        the active solve dtype (f32 runs stay f32 even under x64)."""
+        a = jnp.asarray(a)
+        if self._solve_dtype is not None and a.dtype != self._solve_dtype \
+                and not jnp.issubdtype(a.dtype, jnp.complexfloating):
+            a = a.astype(self._solve_dtype)
+        return a[(Ellipsis,) + (None,) * (self.ndims + extra)]
 
     def _mass_fluxes(self, v, w):
         """F(d) = H10(v)·rho_pi; FW = H01(w)·rho_di interior, 0 at bnd
@@ -791,6 +802,7 @@ class CompressiblePressureLinearSystem:
     def solve(self, rhs_dens, rhs_v, rhs_w):
         """(extrudedmodel.h PressureLinearSystem::solve:3234-3247 with the
         compressible prepare/solve/update stages)."""
+        object.__setattr__(self, "_solve_dtype", rhs_w.dtype)
         g = self.geom
         nact = self.varset.ndensity_active
         dt = self.dt
@@ -831,6 +843,217 @@ class CompressiblePressureLinearSystem:
             sol_v = rhs_v - 0.5 * dt * dpdx / rho_pi_x
 
         # density update with ALL prognostic densities (:3919-3969)
+        F, FW = self._mass_fluxes(sol_v, sol_w)
+        ndens = rhs_dens.shape[0]
+        sol_dens = rhs_dens - 0.5 * dt * self._weighted_div(F, FW, ndens)
+        return sol_dens, sol_v, sol_w
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class CompressiblePressureGravityLinearSystem(CompressiblePressureLinearSystem):
+    """Pressure Helmholtz solve with gravity/stratification terms in the
+    linear operator (CompressiblePressureGravityLinearSystem,
+    extrudedmodel.h:3970-4580): an extra column tridiagonal A acting on w
+    captures the buoyancy coupling the plain pressure system drops —
+    required for stably-stratified columns at large dt (the coupled MMF
+    configuration). Slab and 3-D layouts."""
+    omega: np.ndarray = None      # (nens, ni)
+    Dmod_u: np.ndarray = None     # (nens, nl)
+    Dmod_d: np.ndarray = None
+    A_l: np.ndarray = None        # (nens, nl) — x-independent w-tridiagonal
+    A_d: np.ndarray = None
+    A_u: np.ndarray = None
+    Fhorz: np.ndarray = None      # (nens, ni, [ny,] nxr)
+    pres_pi: np.ndarray = None    # (nens, ni)
+
+    @staticmethod
+    def build(geom, thermo, varset, refstate, dt):
+        """compute_coefficients (extrudedmodel.h:4007-4243)."""
+        base = CompressiblePressureLinearSystem.build(geom, thermo, varset,
+                                                      refstate, dt)
+        nz, nens = geom.nz, geom.nens
+        nl = nz - 1
+        al = dt / 2.0
+        ndims = base.ndims
+        linp = base.linp
+        rho_pi, rho_di = base.rho_pi, base.rho_di
+        q_pi, q_di = base.q_pi, base.q_di
+        pres_pi = np.asarray(refstate["pres_pi"])
+        dzd = np.asarray(geom.dz_d)
+        dzp = np.asarray(geom.dz_p)
+        nact = varset.ndensity_active
+
+        # omega(k) = sum_d linp(d,k) q_pi(d,k)  (q_pi(mass)=1)
+        omega = linp[varset.active_id_mass].copy()
+        for d in range(1, nact):
+            omega += linp[d] * q_pi[d, :, :nz]
+
+        # Dmod (:4067-4083)
+        dp = pres_pi[:, 1:] - pres_pi[:, :-1]            # (nens, nl)
+        inv_rho_mid = 0.5 * (1 / rho_pi[:, 1:] + 1 / rho_pi[:, :-1])
+        c = 1.0 / (rho_pi * rho_pi * omega)              # (nens, ni)
+        Dmod_u = inv_rho_mid - 0.5 * c[:, 1:] * dp
+        Dmod_d = -inv_rho_mid - 0.5 * c[:, :-1] * dp
+
+        # H01 diagonal at dual interfaces (0 outside 1..nz-1)
+        H01d = np.zeros((nens, nz + 2))
+        H01d[:, 1:nz] = geom.dx * geom.dy / dzp
+        fHn1bar = 1.0 / (geom.dx * geom.dy * dzd)        # (nens, ni)
+
+        # A tridiagonal (:4085-4149); entropic-gradient gammas
+        A_l = np.zeros((nens, nl))
+        A_d = np.ones((nens, nl))
+        A_u = np.zeros((nens, nl))
+        k = np.arange(nl)
+        sv_pi = q_pi[varset.active_id_entr][:, :nz]
+        dsv = np.zeros((nens, nz + 1))                   # dsv[k] = sv(k)-sv(k-1)
+        dsv[:, 1:nz] = sv_pi[:, 1:] - sv_pi[:, :-1]
+        for d in range(1, nact):
+            beta = fHn1bar * linp[d] * c                 # (nens, ni)
+            alpha_k = -(al * al) / 4.0 * dp              # (nens, nl)
+            gam_kp1 = rho_di[:, k + 2] * H01d[:, k + 2] * dsv[:, k + 2]
+            gam_k = rho_di[:, k + 1] * H01d[:, k + 1] * dsv[:, k + 1]
+            gam_km1 = rho_di[:, k] * H01d[:, k] * dsv[:, k]
+            A_u += alpha_k * beta[:, k + 1] * gam_kp1
+            A_d += alpha_k * (beta[:, k + 1] + beta[:, k]) * gam_k
+            A_l += alpha_k * beta[:, k] * gam_km1
+
+        # Fhorz (:4151-4180) — the plain system's horizontal-only tri_d
+        thx = 2.0 * np.pi * np.arange(geom.nx // 2 + 1) / geom.nx
+        fDDx = 2.0 * (np.cos(thx) - 1.0)
+        fH1x = dzd * geom.dy / geom.dx
+        qlinp = np.einsum('aek,aek->ek', q_pi[:nact, :, :nz], linp)
+        if ndims == 2:
+            thy = 2.0 * np.pi * np.arange(geom.ny) / geom.ny
+            fDDy = 2.0 * (np.cos(thy) - 1.0)
+            fH1y = dzd * geom.dx / geom.dy
+            horiz = (fH1x[:, :, None, None] * fDDx[None, None, None, :] +
+                     fH1y[:, :, None, None] * fDDy[None, None, :, None])
+            ex = (Ellipsis, None, None)
+        else:
+            horiz = fH1x[:, :, None] * fDDx[None, None, :]
+            ex = (Ellipsis, None)
+        Fhorz = 1.0 - (al * al) * (fHn1bar * qlinp)[ex] * horiz
+
+        # tri (:4182-4243): per-wavenumber w-space tridiagonal
+        tri_u = np.broadcast_to(A_u[ex], Fhorz[:, :nl].shape).copy()
+        tri_d = np.broadcast_to(A_d[ex], Fhorz[:, :nl].shape).copy()
+        tri_l = np.broadcast_to(A_l[ex], Fhorz[:, :nl].shape).copy()
+        gam_kp1 = (rho_di[:, k + 2] * H01d[:, k + 2])[ex]
+        gam_k = (rho_di[:, k + 1] * H01d[:, k + 1])[ex]
+        gam_km1 = (rho_di[:, k] * H01d[:, k])[ex]
+        for d in range(nact):
+            beta_k = (fHn1bar[:, :nl] * linp[d][:, :nl])[ex] / \
+                Fhorz[:, :nl] * Dmod_d[ex]
+            beta_kp1 = (fHn1bar[:, 1:] * linp[d][:, 1:])[ex] / \
+                Fhorz[:, 1:] * Dmod_u[ex]
+            qd_kp2 = q_di[d][:, k + 2][ex]
+            qd_kp1 = q_di[d][:, k + 1][ex]
+            qd_k = q_di[d][:, k][ex]
+            tri_u -= (al * al) * beta_kp1 * gam_kp1 * qd_kp2
+            tri_d -= (al * al) * (beta_k - beta_kp1) * gam_k * qd_kp1
+            tri_l += (al * al) * beta_k * gam_km1 * qd_k
+
+        return CompressiblePressureGravityLinearSystem(
+            geom=geom, varset=varset, dt=dt, ndims=ndims, linp=linp,
+            tri_l=tri_l, tri_d=tri_d, tri_u=tri_u, q_pi=q_pi, q_di=q_di,
+            rho_pi=rho_pi, rho_di=rho_di, omega=omega, Dmod_u=Dmod_u,
+            Dmod_d=Dmod_d, A_l=A_l, A_d=A_d, A_u=A_u, Fhorz=Fhorz,
+            pres_pi=pres_pi)
+
+    # ------------------------------------------------------------------
+    def _A_solve(self, rhs):
+        """Thomas solve with the x-independent A tridiagonal broadcast over
+        the horizontal dims (prepare_pressure_rhs:4322-4342)."""
+        ex = (Ellipsis,) + (None,) * self.ndims
+        shp = rhs.shape
+        L = jnp.broadcast_to(jnp.asarray(self.A_l, rhs.dtype)[ex], shp)
+        D = jnp.broadcast_to(jnp.asarray(self.A_d, rhs.dtype)[ex], shp)
+        U = jnp.broadcast_to(jnp.asarray(self.A_u, rhs.dtype)[ex], shp)
+        return _tridiag_real(L, D, U, rhs)
+
+    def solve(self, rhs_dens, rhs_v, rhs_w):
+        object.__setattr__(self, "_solve_dtype", rhs_w.dtype)
+        g = self.geom
+        nact = self.varset.ndensity_active
+        dt = self.dt
+        al = 0.5 * dt
+        za = -2 - (self.ndims - 1)
+        dzd = self._expand(jnp.asarray(g.dz_d, rhs_w.dtype))
+        ex = (Ellipsis,) + (None,) * self.ndims
+
+        # ---- gravity rhs_w modification (:4283-4343) ----
+        q_pi = self.q_pi
+        Bpert = (rhs_dens[:nact] -
+                 self._expand(q_pi[:nact, :, :g.nz], extra=0) *
+                 rhs_dens[:1]) / (g.dx * g.dy * dzd)
+        linp = self._expand(self.linp)
+        c = self._expand(1.0 / (self.rho_pi ** 2 * self.omega))
+        B0 = jnp.einsum('a...,a...->...', linp, Bpert) * c
+        sl_hi = [slice(None)] * B0.ndim
+        sl_lo = [slice(None)] * B0.ndim
+        sl_hi[za] = slice(1, None)
+        sl_lo[za] = slice(None, -1)
+        dp = self._expand(jnp.asarray(self.pres_pi[:, 1:] -
+                                      self.pres_pi[:, :-1], rhs_w.dtype))
+        Bavg = 0.5 * (B0[tuple(sl_hi)] + B0[tuple(sl_lo)])
+        rhs_w_mod = rhs_w - al * Bavg * dp
+        rhs_w_mod = self._A_solve(rhs_w_mod)
+
+        # ---- plain pressure rhs from (rhs_v, rhs_w_mod) (:4344-4349) ----
+        F, FW = self._mass_fluxes(rhs_v, rhs_w_mod)
+        mf = rhs_dens[:nact] - 0.5 * dt * self._weighted_div(F, FW, nact)
+        Bv = mf / (g.dx * g.dy * dzd)
+        prhs = jnp.einsum('a...,a...->...', linp, Bv)
+
+        # ---- solve for pressure (:4351-4477) ----
+        phat = jnp.fft.rfft(prhs, axis=-1)
+        if self.ndims == 2:
+            phat = jnp.fft.fft(phat, axis=-2)
+        Fh = jnp.asarray(self.Fhorz, rhs_w.dtype)
+        Dmu = self._expand(jnp.asarray(self.Dmod_u, rhs_w.dtype))
+        Dmd = self._expand(jnp.asarray(self.Dmod_d, rhs_w.dtype))
+        pF = phat / Fh
+        qhat = Dmu * pF[tuple(sl_hi)] + Dmd * pF[tuple(sl_lo)]
+        qhat = _tridiag_real(jnp.asarray(self.tri_l, prhs.dtype),
+                             jnp.asarray(self.tri_d, prhs.dtype),
+                             jnp.asarray(self.tri_u, prhs.dtype), qhat)
+        # p update: += al^2 linp(d,k) fHn1bar (f_kp1 - f_k), then /= Fhorz
+        H01col = np.zeros((g.nens, g.nz + 1))
+        H01col[:, 1:g.nz] = g.dx * g.dy / np.asarray(g.dz_p)
+        w8 = self.rho_di[None, :, :] * self.q_di[:nact] * \
+            H01col[None, :, :]                       # (nact, nens, nz+1)
+        w8 = jnp.asarray(w8, qhat.dtype)
+        zsl = [slice(None)] * qhat.ndim
+        zsl[za] = slice(0, 1)
+        zrow = jnp.zeros_like(qhat[tuple(zsl)])
+        q_up = jnp.concatenate([qhat, zrow], axis=za)    # q(k) for k<ni-1
+        q_dn = jnp.concatenate([zrow, qhat], axis=za)    # q(k-1) for k>0
+        fHn1bar = self._expand(jnp.asarray(
+            1.0 / (g.dx * g.dy * np.asarray(g.dz_d)), rhs_w.dtype))
+        acc = 0.0
+        for d in range(nact):
+            f_kp1 = self._expand(w8[d][:, 1:]) * q_up
+            f_k = self._expand(w8[d][:, :-1]) * q_dn
+            acc = acc + linp[d] * fHn1bar * (f_kp1 - f_k)
+        phat = (phat + (al * al) * acc) / Fh
+        if self.ndims == 2:
+            phat = jnp.fft.ifft(phat, axis=-2)
+        p = jnp.fft.irfft(phat, n=g.nx, axis=-1).astype(rhs_w.dtype)
+
+        # ---- update velocity (:4479-4576) ----
+        dpdz_mod = Dmu * p[tuple(sl_hi)] + Dmd * p[tuple(sl_lo)]
+        sol_w = self._A_solve(-al * dpdz_mod) + rhs_w_mod
+        rho_pi_x = self._expand(self.rho_pi)
+        dpdx = p - jnp.roll(p, 1, -1)
+        if self.ndims == 2:
+            dpdy = p - jnp.roll(p, 1, -2)
+            sol_v = jnp.stack([rhs_v[0] - al * dpdx / rho_pi_x,
+                               rhs_v[1] - al * dpdy / rho_pi_x])
+        else:
+            sol_v = rhs_v - al * dpdx / rho_pi_x
+
+        # ---- update densities (inherited plain path) ----
         F, FW = self._mass_fluxes(sol_v, sol_w)
         ndens = rhs_dens.shape[0]
         sol_dens = rhs_dens - 0.5 * dt * self._weighted_div(F, FW, ndens)

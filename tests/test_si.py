@@ -220,3 +220,62 @@ def test_pressure_si_3d_bubble():
     wphys = np.asarray(w_)[0] / np.asarray(geom.dz_p)[0][:, None, None]
     assert wphys.max() > 1e-3
     assert wphys.max() < 5.0
+
+
+def test_pressure_gravity_matches_velocity_system():
+    """The gravity-aware pressure solver (the stratification-robust
+    variant, extrudedmodel.h:3970-4580) converges to the same SI step as
+    the velocity solver on the gravity wave."""
+    tc, geom, th, vs, tend, ref, dens, v, w, geop = _setup()
+    dt = 10.0
+    linv = si.CompressibleVelocityLinearSystem.build(geom, th, vs, ref, dt,
+                                                     grav=tc.g)
+    ling = si.CompressiblePressureGravityLinearSystem.build(geom, th, vs,
+                                                            ref, dt)
+    dv, vv, wv = si.si_step(tend, linv, dens, v, w, geop, dt, max_iters=8)
+    dg, vg, wg = si.si_step(tend, ling, dens, v, w, geop, dt, max_iters=8)
+    scale = float(jnp.max(jnp.abs(vv))) + 1e-30
+    assert float(jnp.max(jnp.abs(vv - vg))) / scale < 1e-8
+    wscale = float(jnp.max(jnp.abs(wv))) + 1e-30
+    assert float(jnp.max(jnp.abs(wv - wg))) / wscale < 1e-8
+
+
+def test_pressure_gravity_si_conserves():
+    tc, geom, th, vs, tend, ref, dens, v, w, geop = _setup()
+    dt = 10.0
+    lin = si.CompressiblePressureGravityLinearSystem.build(geom, th, vs,
+                                                           ref, dt)
+    step = jax.jit(lambda a, b, c: si.si_step(tend, lin, a, b, c, geop, dt))
+    E0 = float(tend.energy(dens, v, w, geop)[0][0])
+    m0 = float(dens[0].sum())
+    d_, v_, w_ = dens, v, w
+    for _ in range(60):
+        d_, v_, w_ = step(d_, v_, w_)
+    assert bool(jnp.isfinite(d_).all())
+    E1 = float(tend.energy(d_, v_, w_, geop)[0][0])
+    assert abs(float(d_[0].sum()) - m0) / m0 < 1e-13
+    assert abs(E1 - E0) / abs(E0) < 1e-9
+    dzp = float(np.mean(geom.dz_p))
+    assert float(jnp.max(jnp.abs(w_))) / dzp < 0.05
+
+
+def test_pressure_gravity_stable_in_stratified_mmf_f32():
+    """The coupled supercell-column MMF config at f32/dt=20s: the plain
+    pressure solver diverges here (no buoyancy in its operator) while
+    pressure_gravity and velocity stay stable — the property the gravity
+    variant exists for."""
+    import jax
+    from pam_tpu.driver.mmf import setup_supercell_mmf
+    from pam_tpu.modules import gcm_forcing
+    drv, state = setup_supercell_mmf(
+        nx=33, ny=1, nz=50, nens=1, xlen=64000.0, ylen=64000.0,
+        zlen=20000.0, micro="kessler", dt_gcm=900.0, dt_crm_phys=20.0,
+        dycore="spam", dtype=jnp.float32,
+        dycore_kwargs={"linear_system": "pressure_gravity"})
+    state = gcm_forcing.compute_gcm_forcing_tendencies(drv.coupler, state,
+                                                       drv.dt_gcm)
+    step = jax.jit(drv.crm_phys_step)
+    for _ in range(30):
+        state = step(state)
+    assert bool(np.isfinite(np.asarray(state["temp"])).all())
+    assert bool(np.isfinite(np.asarray(state["wvel"])).all())
