@@ -236,3 +236,54 @@ def phi_z_iface(dens0tot_pad):
     """Edge average onto dual interfaces: hew[k] = 0.5*(d0[k]+d0[k-1]) for
     k=0..nz from a mirror-iface-padded-by-1 dens0tot (so pad[k] = d0[k-1])."""
     return 0.5 * (dens0tot_pad[..., 1:, :] + dens0tot_pad[..., :-1, :])
+
+
+# ---------------------------------------------------------------------------
+# higher-order Hodge stars (horizontal stencil corrections; hodge_star.h
+# H1/H2bar 3- and 5-point variants:30-193 — diff_ord 2/4/6. The vertical
+# factors stay diagonal (vert_diff_ord=2, the reference compile default).
+# ---------------------------------------------------------------------------
+
+def _h1_stencil_x(v, ord: int):
+    """Flux-averaging correction along x for a 1-form component
+    (hodge_star.h H1:43-73). ord in {2, 4, 6}."""
+    if ord == 2:
+        return v
+    if ord == 4:
+        return (-1.0 / 24.0) * rollm(v, -1) + (26.0 / 24.0) * v + \
+            (-1.0 / 24.0) * rollm(v, 1)
+    if ord == 6:
+        return ((9.0 / 1920.0) * rollm(v, -2) +
+                (-116.0 / 1920.0) * rollm(v, -1) +
+                (2134.0 / 1920.0) * v +
+                (-116.0 / 1920.0) * rollm(v, 1) +
+                (9.0 / 1920.0) * rollm(v, 2))
+    raise ValueError(f"diff_ord must be 2, 4 or 6, got {ord}")
+
+
+def _h2bar_stencil_x(a, ord: int):
+    """0-form recovery correction along x (hodge_star.h H2bar:153-193)."""
+    if ord == 2:
+        return a
+    if ord == 4:
+        return a + ((-1.0 / 24.0) * rollm(a, -1) + (2.0 / 24.0) * a +
+                    (-1.0 / 24.0) * rollm(a, 1))
+    if ord == 6:
+        return a + ((9.0 / 1920.0) * rollm(a, -2) +
+                    (-116.0 / 1920.0) * rollm(a, -1) +
+                    (214.0 / 1920.0) * a +
+                    (-116.0 / 1920.0) * rollm(a, 1) +
+                    (9.0 / 1920.0) * rollm(a, 2))
+    raise ValueError(f"diff_ord must be 2, 4 or 6, got {ord}")
+
+
+def H10_ho(v, geom, ord: int = 2):
+    """H10 with horizontal diff_ord 2/4/6 (hodge_star_extruded.h H10 +
+    hodge_star.h H1 stencils)."""
+    return H10(_h1_stencil_x(v, ord), geom)
+
+
+def Hn1bar_ho(dens, geom, ord: int = 2):
+    """Hn1bar with horizontal diff_ord 2/4/6 (fourier/pointwise Hn1bar +
+    hodge_star.h H2bar stencils)."""
+    return _h2bar_stencil_x(Hn1bar(dens, geom), ord)

@@ -120,6 +120,7 @@ class SpamTendencies:
     # numerics knobs (compile-time in the reference, common.h:72-111):
     # density (dual) reconstruction type and upwinding
     reconstruction_type: str = "wenofunc"   # "wenofunc"|"weno"|"cfv"
+    diff_ord: int = 2                       # horizontal Hodge order 2|4|6
     dual_upwind_type: str = "heaviside"     # "heaviside"|"tanh"
     tanh_upwind_coeff: float = 250.0        # params.h:159
     # diffusion coefficients (extrudedmodel.h:207-212; all default 0 = off,
@@ -182,12 +183,12 @@ class SpamTendencies:
         vs = self.varset
         th = self.thermo
         rho_n = vs.get_total_density(dens)        # n-form
-        rho0 = op.Hn1bar(rho_n, g)                # actual density
+        rho0 = op.Hn1bar_ho(rho_n, g, self.diff_ord)  # actual density
         # he at x-edges; hew at dual interfaces (mirror-layer pad)
         he = op.phi_x(rho0)
         rho0_pad = mirror_layer(rho0, 1)
         hew = op.phi_z_iface(rho0_pad)            # (nens, nz+1, nx)
-        u = op.H10(v, g)
+        u = op.H10_ho(v, g, self.diff_ord)
         uw = op.H01(w, g)                         # zero at boundaries
         F = he * u
         FW = hew * uw
@@ -244,13 +245,14 @@ class SpamTendencies:
         hs = self.hs
         dtype = dens.dtype
         rho_n = vs.get_total_density(dens)
-        rho0 = op.Hn1bar(rho_n, g)
+        rho0 = op.Hn1bar_ho(rho_n, g, self.diff_ord)
 
         # dens0 = (dens - refdens)/area  (compute_dens0, :379-417)
         if self.refdens is not None:
-            dens0 = op.Hn1bar(dens - self.refdens[:, :, :, None], g)
+            dens0 = op.Hn1bar_ho(dens - self.refdens[:, :, :, None], g,
+                                 self.diff_ord)
         else:
-            dens0 = op.Hn1bar(dens, g)
+            dens0 = op.Hn1bar_ho(dens, g, self.diff_ord)
 
         # --- horizontal density recon at x-edges of dual cells ---
         dl, dr = _edge_recon_x(dens0, tb, self.reconstruction_type)

@@ -246,3 +246,56 @@ def test_spam_stretched_grid_conserves():
     assert abs(m1 - m0) / abs(m0) < 1e-12
     E0, E1 = float(st0["E"][0]), float(st1["E"][0])
     assert abs(E1 - E0) / abs(E0) < 1e-5
+
+
+def _conv_rate(errs, factors=2.0):
+    import math
+    return [math.log(errs[i] / errs[i + 1]) / math.log(factors)
+            for i in range(len(errs) - 1)]
+
+
+def test_hodge_star_convergence_orders():
+    """Grid-convergence of the 2nd/4th/6th-order horizontal Hodge stars
+    against analytic fields — the analog of the reference's
+    test/hodge_star suite (ConvergenceTest::check_rate, atol=0.1)."""
+    from scipy.integrate import quad
+    L = 1.0
+    for ord_, expected in [(2, 2.0), (4, 4.0), (6, 6.0)]:
+        errs_h10 = []
+        errs_hn1 = []
+        for nx in (16, 32, 64):
+            geom = ExtrudedGeometry.build(nx, np.linspace(0, 1.0, 3), L)
+            dx = geom.dx
+            xe = np.arange(nx + 1) * dx          # edge endpoints
+            u = lambda x: np.sin(2 * np.pi * x / L) + 0.3 * \
+                np.cos(4 * np.pi * x / L)
+            U = lambda x: (-L / (2 * np.pi) * np.cos(2 * np.pi * x / L) +
+                           0.3 * L / (4 * np.pi) * np.sin(4 * np.pi * x / L))
+            # straight 1-form: integral of u over each x-edge
+            v1 = (U(xe[1:]) - U(xe[:-1]))
+            v = jnp.asarray(np.broadcast_to(v1, (1, 2, nx)))
+            got = np.asarray(op.H10_ho(v, geom, ord_))[0, 0]
+            dz = float(geom.dz_d[0, 0])
+            exact = u(0.5 * (xe[1:] + xe[:-1])) * dz * geom.dy
+            errs_h10.append(np.abs(got - exact).max())
+            # dual n-form: cell integral of u -> 0-form u at cell center
+            a = jnp.asarray(np.broadcast_to(v1 * dz, (1, 2, nx)))
+            got0 = np.asarray(op.Hn1bar_ho(a, geom, ord_))[0, 0]
+            errs_hn1.append(np.abs(got0 - u(0.5 * (xe[1:] + xe[:-1]))).max())
+        for errs in (errs_h10, errs_hn1):
+            rates = _conv_rate(errs)
+            assert abs(rates[-1] - expected) < 0.35, (ord_, errs, rates)
+
+
+def test_diff_ord_4_bubble_runs():
+    """The rising bubble with 4th-order Hodge stars stays conservative."""
+    import dataclasses as dc
+    tc, geom, thermo, vs, tend, dens, v, w, geop = make_bubble(nx=16, nz=12)
+    tend4 = dc.replace(tend, diff_ord=4)
+    dt = 0.05
+    step = jax.jit(lambda d, vv, ww: tend4.ssprk3_step(d, vv, ww, geop, dt))
+    m0 = float(jnp.sum(dens[0]))
+    for _ in range(10):
+        dens, v, w = step(dens, v, w)
+    assert np.isfinite(np.asarray(dens)).all()
+    assert abs(float(jnp.sum(dens[0])) - m0) / m0 < 1e-12
