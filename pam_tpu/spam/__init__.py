@@ -4,3 +4,4 @@ from .thermo import (ThermoConstants, IdealGasPottemp,
 from .varset import VariableSet
 from .tendencies import SpamTendencies
 from .dycore import SpamDycore
+from .extruded3d import Tendencies3D

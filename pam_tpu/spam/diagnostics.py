@@ -24,13 +24,26 @@ def total_density(tend, dens, v=None, w=None):
 def dens0(tend, dens, v=None, w=None):
     """Concentration 0-forms dens / cell area ("densl",
     extrudedmodel.h:56-91)."""
+    if hasattr(tend, "Hn1bar"):          # 3-D model carries its own star
+        return tend.Hn1bar(dens)
     return op.Hn1bar(dens, tend.geom)
 
 
 def qhz(tend, dens, v, w):
     """Relative PV at dual vertices ("QHZl", extrudedmodel.h:93-131) —
-    reuses the dycore's PVPE functional (q_and_f)."""
-    return tend.q_and_f(dens, v, w)
+    reuses the dycore's PVPE functional (q_and_f). For the 3-D model this
+    is the 2-dof (qxz, qyz) stack."""
+    out = tend.q_and_f(dens, v, w)
+    return out[0] if isinstance(out, tuple) else out
+
+
+def qxy(tend, dens, v, w):
+    """Vertical-vorticity PV at primal vertices/dual layers ("QXYl",
+    ndims=2 only — extrudedmodel.h:133-189 QXYDiagnostic)."""
+    out = tend.q_and_f(dens, v, w)
+    if not isinstance(out, tuple):
+        raise ValueError("QXYl requires the 3-D (ndims=2) model")
+    return out[1]
 
 
 def relative_vorticity(tend, dens, v, w):
@@ -43,11 +56,18 @@ DIAGNOSTICS = {
     "total_dens": total_density,
     "densl": dens0,
     "QHZl": qhz,
+    "QXYl": qxy,
     "zeta": relative_vorticity,
 }
 
 
 def compute_diagnostics(tend, dens, v, w, names=None):
-    """Evaluate the named diagnostics; default = all built-ins."""
-    names = names if names is not None else list(DIAGNOSTICS)
+    """Evaluate the named diagnostics; default = all applicable built-ins
+    (QXYl only for the 3-D model)."""
+    if names is None:
+        names = list(DIAGNOSTICS)
+        if type(tend).__name__ == "Tendencies3D":
+            names.remove("zeta")         # slab-layout circulation form
+        else:
+            names.remove("QXYl")
     return {n: DIAGNOSTICS[n](tend, dens, v, w) for n in names}

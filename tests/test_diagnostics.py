@@ -30,3 +30,22 @@ def test_diagnostics_shapes_and_values():
     # at rest: no vorticity, no PV
     assert np.abs(np.asarray(out["zeta"])[:, 1:-1]).max() == 0.0
     assert np.abs(np.asarray(out["QHZl"])).max() == 0.0
+
+
+def test_diagnostics_3d_model():
+    """QXYl and 3-D shapes (QXYDiagnostic, extrudedmodel.h:133-189)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_extruded3d import make_pair, bcast_y
+    from pam_tpu.spam import diagnostics
+    import jax.numpy as jnp
+    tc, geom1, geom3, t1, t3, dens1, v1, w1, geop1 = make_pair()
+    dens3 = bcast_y(dens1, geom3.ny, geom3.dy)
+    v3 = jnp.zeros((2, 1, geom3.nz, geom3.ny, geom3.nx))
+    w3 = jnp.zeros((1, geom3.nz - 1, geom3.ny, geom3.nx))
+    out = diagnostics.compute_diagnostics(t3, dens3, v3, w3)
+    assert out["QXYl"].shape == (1, geom3.nz, geom3.ny, geom3.nx)
+    assert out["QHZl"].shape == (2, 1, geom3.nz + 1, geom3.ny, geom3.nx)
+    assert "zeta" not in out
+    import numpy as np
+    assert np.allclose(np.asarray(out["QXYl"]), 0.0)  # irrotational ICs
