@@ -125,6 +125,95 @@ def run_layer(cfg: dict, verbose: bool = True):
     return dens, v
 
 
+def run_idealized_3d(cfg: dict, verbose: bool = True):
+    """3-D (ndims=2) idealized SPAM runs: the reference's max_ndims=2 cases
+    risingbubble / moistrisingbubble / supercell on an x-y-z grid
+    (extrudedmodel.h:6195,7050), ssprk3 or semi-implicit stepping (the
+    pressure-family solvers are the reference's only ndims=2 SI path)."""
+    import jax
+    import jax.numpy as jnp
+    from ..spam import (ExtrudedGeometry, VariableSet, Tendencies3D)
+    from ..spam.thermo import thermo_from_string
+    from ..spam import testcases as tcs
+    from ..spam import si as si_mod
+    import dataclasses as dc
+
+    name = cfg["init_data"]
+    tc, moist = tcs.testcase_from_string(name)
+    nx, ny, nz = cfg["crm_nx"], cfg["crm_ny"], cfg["crm_nz"]
+    nens = cfg.get("nens", 1)
+    ylen = getattr(tc, "Ly", tc.Lx)
+    dtype = jnp.float64 if cfg.get("f64", True) else jnp.float32
+    geom = ExtrudedGeometry.build3d(nx, ny, np.linspace(0.0, tc.Lz, nz + 1),
+                                    tc.Lx, ylen, nens, dtype)
+    thermo = thermo_from_string(cfg.get(
+        "thermo", "constkappavirpottemp" if moist else "idealgaspottemp"))
+    special_ref = None
+    if moist:
+        if getattr(tc, "needs_special_init", False) and \
+                hasattr(tc, "thermo_constants"):
+            thermo = dc.replace(thermo, cst=tc.thermo_constants())
+        vs = VariableSet(variant="MCE_rho", tracer_names=("water_vapor",),
+                         tracer_positive=(True,), geom=geom, thermo=thermo)
+        if getattr(tc, "needs_special_init", False):
+            dens, v, w, geop, special_ref = tcs.setup_supercell_3d(
+                tc, geom, thermo, vs)
+        else:
+            dens, v, w, geop = tcs.setup_testcase_3d(tc, geom, thermo)
+    else:
+        vs = VariableSet(variant="CE", geom=geom, thermo=thermo)
+        dens, v, w, geop = tcs.setup_testcase_3d(tc, geom, thermo)
+    tend = Tendencies3D(geom=geom, varset=vs, thermo=thermo, grav=tc.g)
+
+    tstype = cfg.get("tstype", "ssprk3")
+    if tstype == "si":
+        if special_ref is not None:
+            ref = special_ref
+        elif hasattr(tc, "refrho_f"):
+            ref = si_mod.build_reference_state(
+                geom, thermo, vs, lambda z: tc.refrho_f(z, thermo),
+                lambda z: tc.refentropicdensity_f(z, thermo),
+                lambda z: np.asarray(tc.refnsq_f(z, thermo)), tc.g)
+        else:
+            raise ValueError(
+                f"init_data {name!r} has no reference state for tstype=si")
+        J = jnp.asarray
+        tend = dc.replace(
+            tend, force_refstate_hydrostatic_balance=True,
+            refdens=J(ref["dens"]), ref_rho_pi=J(ref["rho_pi"]),
+            ref_q_pi=J(ref["q_pi"]), ref_rho_di=J(ref["rho_di"]),
+            ref_q_di=J(ref["q_di"]), ref_B=J(ref["B"]))
+        dt = cfg.get("dtcrm", 10.0)
+        linsys_name = cfg.get("linear_system", "pressure_gravity")
+        cls = {"pressure": si_mod.CompressiblePressureLinearSystem,
+               "pressure_gravity":
+                   si_mod.CompressiblePressureGravityLinearSystem}[linsys_name]
+        lin = cls.build(geom, thermo, vs, ref, dt)
+        step = jax.jit(lambda d, vv, ww: si_mod.si_step(
+            tend, lin, d, vv, ww, geop, dt,
+            cfg.get("si_max_iters", 3), cfg.get("si_nquad", 2)))
+    else:
+        dt = cfg.get("dtcrm",
+                     0.3 * min(geom.dx, geom.dy,
+                               float(geom.dz_d.min())) / 350.0)
+        step = jax.jit(lambda d, vv, ww: tend.ssprk3_step(d, vv, ww, geop,
+                                                          dt))
+    nsteps = int(np.ceil(cfg["sim_time"] / dt))
+    stats_every = max(1, int(cfg.get("stat_freq",
+                                     cfg["sim_time"] / 10) / dt))
+    t0 = time.time()
+    for n in range(nsteps):
+        dens, v, w = step(dens, v, w)
+        if (n + 1) % stats_every == 0 and verbose:
+            st = tend.statistics(dens, v, w, geop)
+            print(f"step {n+1} t={dt*(n+1):9.2f}s  "
+                  f"E={float(st['E'][0]):.8e} "
+                  f"mass={float(st['densstat'][0, 0]):.8e}", flush=True)
+    if verbose:
+        print(f"Run Time: {time.time() - t0}")
+    return dens, v, w
+
+
 def run_idealized(cfg: dict, verbose: bool = True):
     """Idealized SPAM runs (risingbubble, densitycurrent) — the idealized
     branch with init_data dispatch (extrudedmodel.h testcase_from_string)."""
@@ -137,6 +226,8 @@ def run_idealized(cfg: dict, verbose: bool = True):
     name = cfg["init_data"]
     if name in ("doublevortex", "bickleyjet"):
         return run_layer(cfg, verbose)
+    if cfg.get("crm_ny", 1) > 1:
+        return run_idealized_3d(cfg, verbose)
     tc, moist = tcs.testcase_from_string(name)
     nx = cfg["crm_nx"]
     nz = cfg["crm_nz"]
