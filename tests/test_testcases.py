@@ -212,3 +212,26 @@ def test_cfv_and_tanh_numerics_options():
         err = float(np.abs(np.asarray(d[1]) - np.asarray(ref[1])).max() /
                     np.abs(np.asarray(ref[1])).max())
         assert err < 1e-4, (kw, err)
+
+
+def test_standalone_driver_3d_bubble():
+    """The standalone YAML driver's crm_ny>1 branch (3-D idealized runs)."""
+    from pam_tpu.driver.standalone import run_idealized
+    cfg = dict(idealized=True, init_data="risingbubble", crm_nx=10,
+               crm_ny=8, crm_nz=10, nens=1, sim_time=0.6, tstype="ssprk3",
+               dtcrm=0.15, stat_freq=0.3)
+    dens, v, w = run_idealized(cfg, verbose=False)
+    assert dens.shape[0] == 2 and dens.shape[-2:] == (8, 10)
+    import numpy as np
+    assert np.isfinite(np.asarray(dens)).all()
+
+
+def test_standalone_driver_3d_supercell_si():
+    from pam_tpu.driver.standalone import run_idealized
+    cfg = dict(idealized=True, init_data="supercell", crm_nx=10, crm_ny=8,
+               crm_nz=16, nens=1, sim_time=20.0, tstype="si", dtcrm=10.0,
+               linear_system="pressure_gravity", stat_freq=10.0)
+    dens, v, w = run_idealized(cfg, verbose=False)
+    import numpy as np
+    assert np.isfinite(np.asarray(dens)).all()
+    assert np.isfinite(np.asarray(w)).all()
