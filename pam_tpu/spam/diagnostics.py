@@ -52,6 +52,35 @@ def relative_vorticity(tend, dens, v, w):
     return op.D1_ext(v, w_pad)
 
 
+def gravity_wave_exact(tc, geom, thermo, t):
+    """Exact-solution and background diagnostics for the GravityWave
+    verification run (ExactDensityDiagnostic "dense",
+    ExactTemperatureDiagnostic "Te", ExactWDiagnostic "we",
+    BackgroundDensityDiagnostic "densb" — extrudedmodel.h:6876-6990).
+    Returns a name->array dict; dense/densb are (2, nens, nz, nx) twisted
+    n-forms, Te cell-center point values, we the w 1-form at interior
+    interfaces."""
+    import numpy as np
+    from .testcases import project_n1form
+    dense = np.stack([
+        project_n1form(lambda x, z: tc.rhoexact_f(x, z, t, thermo), geom),
+        project_n1form(lambda x, z: tc.entropicdensityexact_f(x, z, t,
+                                                              thermo), geom)])
+    densb = np.stack([
+        project_n1form(lambda x, z: tc.refrho_f(z, thermo) + 0.0 * x, geom),
+        project_n1form(lambda x, z: tc.refentropicdensity_f(z, thermo) +
+                       0.0 * x, geom)])
+    xc = (np.arange(geom.nx) + 0.5) * geom.dx
+    zc = 0.5 * (np.asarray(geom.zint_d)[:, :-1] +
+                np.asarray(geom.zint_d)[:, 1:])
+    X, Z = xc[None, None, :], zc[:, :, None]
+    Te = tc.Texact_f(X + 0 * Z, Z + 0 * X, t, thermo)
+    Zw = np.asarray(geom.zint_d)[:, 1:-1][:, :, None]
+    we = tc.wexact_f(X + 0 * Zw, Zw + 0 * X, t, thermo) * \
+        np.asarray(geom.dz_p)[:, :, None]
+    return {"dense": dense, "Te": Te, "we": we, "densb": densb}
+
+
 DIAGNOSTICS = {
     "total_dens": total_density,
     "densl": dens0,

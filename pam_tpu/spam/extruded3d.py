@@ -389,19 +389,21 @@ class Tendencies3D:
         densvertrecon = densvertrecon / hew[None]
 
         # --- qhz recons (straight_hz: dof0 along x upw FTW0, dof1 along y
-        # upw FTW1; stored at primal layer k reading interface k) ---
-        nzl = g.nz  # qhz rows used: w-levels 0..nz-2
-        q0_w = qhz[0][..., :nzl - 1, :, :]
-        q1_w = qhz[1][..., :nzl - 1, :, :]
+        # upw FTW1; the stencil for primal layer k is CENTERED at interface
+        # k+1 — recon.h:185-197 "the +1 in k ... since twisted 0-forms have
+        # extra dofs at the top and bottom") ---
+        q0_w = qhz[0][..., 1:g.nz, :, :]            # interfaces 1..nz-1
+        q1_w = qhz[1][..., 1:g.nz, :, :]
         ql_, qr_ = _edge_recon_h(q0_w, tb, AXX)
         qhzrecon0 = jnp.where(FTW[0] >= 0, qr_, rx(ql_, 1))
         qb_, qt_ = _edge_recon_h(q1_w, tb, AXY)
         qhzrecon1 = jnp.where(FTW[1] >= 0, qt_, ry(qb_, 1))
 
         # --- qhz vertical recons at v-points (straight_hz_vert: both dofs;
-        # upwind flux is -FT0 for dof0 ["needs a twist"], +FT1 for dof1) ---
+        # upwind flux is -FT0 for dof0 ["needs a twist"], +FT1 for dof1;
+        # stencil centered at interface k+1, recon.h:236-240) ---
         def vert_q(qc, flux):
-            q_pad = mirror_iface(qc, hs)[..., :g.nz - 1 + 2 * hs, :, :]
+            q_pad = mirror_iface(qc, hs)[..., 1:g.nz + 2 * hs, :, :]
             qb2, qt2 = _edge_recon_z(q_pad, tb, g.nz - 1,
                                      per_level=self.vert_per_level_q())
             qt_pad = mirror_layer(qt2, 1)

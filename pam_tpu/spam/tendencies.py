@@ -283,15 +283,17 @@ class SpamTendencies:
                                              self.ref_q_di[:, :, :, None])
         densvertrecon = densvertrecon / hew[None]
 
-        # --- qhz recons (note the reference's level-k storage convention:
-        # the stencil for primal layer k reads qhz at interface k,
-        # recon.h:176-220) ---
-        q_w_levels = qhz[..., :g.nz - 1, :]         # interfaces 0..nz-2
+        # --- qhz recons (the reference's storage convention: the stencil
+        # for primal layer k is CENTERED at interface k+1 — the "+1 in k
+        # ... since twisted 0-forms have extra dofs at the top and bottom",
+        # recon.h:185-197,236-240) ---
+        q_w_levels = qhz[..., 1:g.nz, :]            # interfaces 1..nz-1
         ql_, qr_ = _edge_recon_x(q_w_levels, tb)
         # straight recon at edge between cells i,i+1, stored at i
         qhzrecon = jnp.where(FTW >= 0, qr_, rollm(ql_, 1))
-        # vertical: stencil per primal layer k over interfaces (mirror-iface)
-        qhz_pad = mirror_iface(qhz, hs)[..., :g.nz - 1 + 2 * hs, :]
+        # vertical: stencil per primal layer k over interfaces centered at
+        # k+1 (mirror-iface pad, then drop the first padded row)
+        qhz_pad = mirror_iface(qhz, hs)[..., 1:g.nz + 2 * hs, :]
         qb, qt = _edge_recon_z(qhz_pad, tb, g.nz - 1,
                                per_level=self.vert_per_level_q())
         # straight vert recon at v-level kv from primal-layer cells kv-1 (top)

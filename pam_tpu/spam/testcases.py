@@ -331,11 +331,16 @@ class GravityWave:
     dT_max: float = 0.01
     d: float = 5e3
     x_c: float = 100e3
+    u_0: float = 20.0
     add_perturbation: bool = True
 
     @property
     def xc(self):
         return 0.5 * self.Lx
+
+    def u_init(self, z):
+        """Background wind (v_f, extrudedmodel.h:6700-6705): u = u_0, w = 0."""
+        return self.u_0 + 0.0 * z
 
     def _isothermal(self, z, var_s, cst):
         delta = self.g / (cst.Rd * self.T_ref)
@@ -384,6 +389,125 @@ class GravityWave:
             p = p + cst.Rd * self.T_ref * drho + cst.Rd * rho_ref * dT
         return np.asarray(thermo.compute_entropic_var_from_p_T(
             p, T, 1.0, 0, 0, 0))
+
+    # -- exact linear solution (sum_series, extrudedmodel.h:6769-6874):
+    # the analytic Fourier-mode evolution of the initial T perturbation in
+    # an isothermal, non-rotating channel; the reference's verification
+    # target for the gravitywave convergence study (pam-c/gravitywave/
+    # convergence.py).
+    def sum_series(self, x, z, t, thermo, nmax: int = 100):
+        """Returns dict(drho, dp, dT, du, dw) of perturbation fields at
+        time t; x, z broadcastable numpy arrays."""
+        cst = thermo.cst
+        Rd, cvd, cpd = cst.Rd, cst.Cvd, cst.Cpd
+        g, Lx, Lz = self.g, self.Lx, self.Lz
+        T_ref, p_s = self.T_ref, self.p_s
+        xp = np.asarray(x, np.float64) - self.u_0 * t
+        z = np.asarray(z, np.float64)
+        delta = g / (Rd * T_ref)
+        c_s2 = cpd / cvd * Rd * T_ref
+        rho_s = p_s / (Rd * T_ref)
+        shape = np.broadcast(xp, z).shape
+        acc = {k: np.zeros(shape, np.complex128)
+               for k in ("drho", "dp", "du", "dw")}
+        for m_ in (-1, 1):
+            k_z = np.pi * m_ / Lz
+            k_z2 = k_z * k_z
+            # all horizontal wavenumbers at once (vectorized over n)
+            n = np.arange(-nmax, nmax + 1, dtype=np.float64)
+            k_x = 2.0 * np.pi * n / Lx
+            k_x2 = k_x * k_x
+            p_1 = c_s2 * (k_x2 + k_z2 + delta * delta / 4.0)
+            q_1 = g * k_x2 * (c_s2 * delta - g)
+            disc = np.sqrt(np.maximum(p_1 * p_1 / 4.0 - q_1, 0.0))
+            alpha = np.sqrt(np.maximum(p_1 / 2.0 - disc, 0.0))
+            beta = np.sqrt(p_1 / 2.0 + disc)
+            a2, b2 = alpha * alpha, beta * beta
+            with np.errstate(divide="ignore", invalid="ignore"):
+                fac1 = 1.0 / (b2 - a2)
+                L_0 = (np.sin(alpha * t) / alpha -
+                       np.sin(beta * t) / beta) * fac1
+                L_1 = (np.cos(alpha * t) - np.cos(beta * t)) * fac1
+                L_2 = (-alpha * np.sin(alpha * t) +
+                       beta * np.sin(beta * t)) * fac1
+                L_3 = (-a2 * np.cos(alpha * t) +
+                       b2 * np.cos(beta * t)) * fac1
+            # alpha -> 0 limit (n = 0 column; extrudedmodel.h:6826-6829)
+            zero = alpha == 0.0
+            L_0 = np.where(zero, (beta * t - np.sin(beta * t)) / (b2 * beta),
+                           L_0)
+            L_1 = np.where(zero, (1.0 - np.cos(beta * t)) / b2, L_1)
+            L_2 = np.where(zero, np.sin(beta * t) / beta, L_2)
+            L_3 = np.where(zero, np.cos(beta * t) - 0.0 * b2, L_3)
+            drhot_b0 = (-rho_s / T_ref * self.dT_max / np.sqrt(np.pi) *
+                        self.d / Lx * np.exp(-self.d ** 2 * k_x2 / 4.0) *
+                        np.exp(-1j * k_x * self.x_c) * k_z * Lz / 2j)
+            drhot = (L_3 + (p_1 + g * (1j * k_z - delta / 2.0)) * L_1) * \
+                drhot_b0
+            gfac = (g - c_s2 * (1j * k_z + delta / 2.0)) * g * drhot_b0
+            dpt = -gfac * L_1
+            dut = 1j * k_x * gfac * L_0 / (g * rho_s) * g
+            dwt = -(L_2 + c_s2 * k_x2 * L_0) * g * drhot_b0 / rho_s
+            # mode sum: coef[n] * exp(i k_x xp) summed over n, then the
+            # single vertical mode factor exp(i k_z z)
+            ez = np.exp(1j * k_z * z)
+            # chunk the n axis to bound the (points x modes) temporary
+            for c0 in range(0, len(n), 32):
+                sl = slice(c0, c0 + 32)
+                ex = np.exp(1j * np.multiply.outer(xp, k_x[sl]))
+                acc["drho"] += ez * (ex @ drhot[sl]) if xp.ndim else \
+                    ez * np.sum(ex * drhot[sl])
+                acc["dp"] += ez * (ex @ dpt[sl]) if xp.ndim else \
+                    ez * np.sum(ex * dpt[sl])
+                acc["du"] += ez * (ex @ dut[sl]) if xp.ndim else \
+                    ez * np.sum(ex * dut[sl])
+                acc["dw"] += ez * (ex @ dwt[sl]) if xp.ndim else \
+                    ez * np.sum(ex * dwt[sl])
+        dT_b = T_ref * (acc["dp"] / p_s - acc["drho"] / rho_s)
+        em, ep = np.exp(-delta * z / 2.0), np.exp(delta * z / 2.0)
+        return dict(drho=em * acc["drho"].real, dp=em * acc["dp"].real,
+                    dT=ep * dT_b.real, du=ep * acc["du"].real,
+                    dw=ep * acc["dw"].real)
+
+    def rhoexact_f(self, x, z, t, thermo):
+        """(rhoexact_f, extrudedmodel.h:6707-6714)."""
+        rho = self.refrho_f(z, thermo) + 0.0 * x
+        if self.add_perturbation:
+            rho = rho + self.sum_series(x, z, t, thermo)["drho"]
+        return rho
+
+    def entropicdensityexact_f(self, x, z, t, thermo):
+        """(entropicdensityexact_f, extrudedmodel.h:6716-6735)."""
+        cst = thermo.cst
+        rho = self.refrho_f(z, thermo) + 0.0 * x
+        p = self._isothermal(z, self.p_s, cst) + 0.0 * x
+        T = self.T_ref + 0.0 * x
+        if self.add_perturbation:
+            sol = self.sum_series(x, z, t, thermo)
+            rho, p, T = rho + sol["drho"], p + sol["dp"], T + sol["dT"]
+        return rho * np.asarray(
+            thermo.compute_entropic_var_from_p_T(p, T, 1.0, 0, 0, 0))
+
+    def Texact_f(self, x, z, t, thermo):
+        """(Texact_f, extrudedmodel.h:6737-6744)."""
+        T = self.T_ref + 0.0 * (x + z)
+        if self.add_perturbation:
+            T = T + self.sum_series(x, z, t, thermo)["dT"]
+        return T
+
+    def uexact_f(self, x, z, t, thermo):
+        """u component of vexact_f (extrudedmodel.h:6746-6757)."""
+        u = self.u_0 + 0.0 * (x + z)
+        if self.add_perturbation:
+            u = u + self.sum_series(x, z, t, thermo)["du"]
+        return u
+
+    def wexact_f(self, x, z, t, thermo):
+        """w component of vexact_f (extrudedmodel.h:6746-6757)."""
+        w = 0.0 * (x + z)
+        if self.add_perturbation:
+            w = w + self.sum_series(x, z, t, thermo)["dw"]
+        return w
 
 
 def saturation_mixing_ratio(T, p):
@@ -550,7 +674,14 @@ def setup_testcase(tc, geom, thermo, varset_cls=None):
     geop = project_n1form(lambda x, z: tc.g * z, geom)
     dtype = geom.dtype
     dens = jnp.stack([jnp.asarray(dens_rho, dtype), jnp.asarray(dens_S, dtype)])
-    v = jnp.zeros((geom.nens, geom.nz, geom.nx), dtype)
+    if hasattr(tc, "u_init"):
+        # background wind as a straight 1-form (v_f -> set_10form -> u*dx)
+        u = np.broadcast_to(tc.u_init(np.asarray(geom.zint_p)),
+                            (geom.nens, geom.nz))
+        v = jnp.asarray(np.repeat((u * geom.dx)[:, :, None], geom.nx,
+                                  axis=2), dtype)
+    else:
+        v = jnp.zeros((geom.nens, geom.nz, geom.nx), dtype)
     w = jnp.zeros((geom.nens, geom.nz - 1, geom.nx), dtype)
     return dens, v, w, jnp.asarray(geop, dtype)
 
