@@ -179,5 +179,8 @@ class Coupler:
 def hmean(x):
     """Horizontal mean over (ny, nx) of an (nens, nz, ny, nx) field ->
     (nens, nz). Replaces the reference's atomicAdd column averaging
-    (e.g. gcm_forcing.h:101-129) with a plain reduction."""
-    return jnp.mean(x, axis=(-2, -1))
+    (e.g. gcm_forcing.h:101-129) with a plain reduction; inside a
+    shard_map axis context the mean finishes with a lax.pmean over the
+    active horizontal mesh axes."""
+    from ..parallel import comm
+    return comm.pmean_h(x, (-2, -1))

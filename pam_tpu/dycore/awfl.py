@@ -42,6 +42,7 @@ from ..core.coupler import Coupler, hmean
 from ..core import profiles
 from ..ops import recon_matrices as rm
 from ..ops import weno
+from ..parallel import comm
 
 # State-vector variable ids (ref: Dycore.h:27-31)
 ID_R, ID_U, ID_V, ID_W, ID_T = 0, 1, 2, 3, 4
@@ -54,11 +55,12 @@ _CS = 350.0  # frozen acoustic characteristic speed (ref: Dycore.h:335)
 
 
 def _pad_periodic(a, axis, h):
-    sl = [slice(None)] * a.ndim
-    sl_l, sl_r = list(sl), list(sl)
-    sl_l[axis] = slice(a.shape[axis] - h, None)
-    sl_r[axis] = slice(0, h)
-    return jnp.concatenate([a[tuple(sl_l)], a, a[tuple(sl_r)]], axis=axis)
+    """Periodic halo pad along a horizontal axis (h cells each side).
+    Inside a shard_map axis context this is an explicit ppermute halo
+    exchange (comm.halo_pad) — one message per side per stage, replacing
+    the reference's MPI halo exchange (exchange.h:341-391)."""
+    kind = "x" if axis == AX_X else "y"
+    return comm.halo_pad(a, h, axis=axis, kind=kind)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -190,7 +192,9 @@ class AwflDycore:
         dtx = self.cfl * cpl.dx / (jnp.abs(state["uvel"]) + cs)
         dty = self.cfl * cpl.dy / (jnp.abs(state["vvel"]) + cs)
         dtz = self.cfl * dz / (jnp.abs(state["wvel"]) + cs)
-        return jnp.min(jnp.minimum(jnp.minimum(dtx, dty), dtz))
+        # global min: pmin over active mesh axes (ref: yakl minval +
+        # implicit per-rank locality, Dycore.h:101)
+        return comm.pmin_h(jnp.minimum(jnp.minimum(dtx, dty), dtz))
 
     # ----------------------------------------------------------- halo + BCs
     def _pad_all(self, dyn, tracers, pressure, dz):
@@ -264,7 +268,9 @@ class AwflDycore:
         Ref: compute_tendencies, Dycore.h:262-586."""
         cpl, c = self.coupler, self.coupler.const
         hs, ord = self.hs, self.ord
-        nz, ny, nx = cpl.nz, cpl.ny, cpl.nx
+        # local extents from the operand (inside a manual-sharding region
+        # the horizontal extents are per-device blocks, not cpl.nx/ny)
+        nens_l, ny, nz, nx = dyn.shape[1:]
         dx, dy = cpl.dx, cpl.dy
         dz = state["vertical_cell_dz"]  # (nens, nz)
         dz4 = dz[:, None, :, None]      # broadcast over (nens, ny, nz, nx)
@@ -384,8 +390,8 @@ class AwflDycore:
 
         sfx, tfx = direction(AX_X)
         if cpl.sim2d:
-            sfy = jnp.zeros((NUM_STATE, cpl.nens, 2, nz, nx), dyn.dtype)
-            tfy = jnp.zeros((cpl.num_tracers, cpl.nens, 2, nz, nx), dyn.dtype)
+            sfy = jnp.zeros((NUM_STATE, nens_l, 2, nz, nx), dyn.dtype)
+            tfy = jnp.zeros((cpl.num_tracers, nens_l, 2, nz, nx), dyn.dtype)
         else:
             sfy, tfy = direction(AX_Y)
         sfz, tfz = direction(AX_Z)
@@ -421,12 +427,13 @@ class AwflDycore:
                 # pads with 1 (rigid boundaries).
                 pw = [(0, 0)] * 5
                 if periodic:
-                    sl_last = [slice(None)] * 5
-                    sl_first = [slice(None)] * 5
-                    sl_last[ax] = slice(-1, None)
-                    sl_first[ax] = slice(0, 1)
-                    ml = jnp.concatenate([mult[tuple(sl_last)], mult], axis=ax)
-                    mr = jnp.concatenate([mult, mult[tuple(sl_first)]], axis=ax)
+                    padded = _pad_periodic(mult, ax, 1)
+                    sl_ml = [slice(None)] * 5
+                    sl_mr = [slice(None)] * 5
+                    sl_ml[ax] = slice(0, -1)
+                    sl_mr[ax] = slice(1, None)
+                    ml = padded[tuple(sl_ml)]
+                    mr = padded[tuple(sl_mr)]
                 else:
                     pw[ax] = (1, 0)
                     ml = jnp.pad(mult, pw, constant_values=1.0)

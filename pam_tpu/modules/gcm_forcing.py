@@ -21,10 +21,12 @@ _NUM_SPECIES = (("cloud_water_num", "gcm_num_liq", "gcm_forcing_tend_nc"),
 
 def _get3d(coupler, state, name):
     """Field or zeros if the active microphysics doesn't carry it
-    (e.g. Kessler has no ice/number tracers — ref hardcodes P3 names)."""
+    (e.g. Kessler has no ice/number tracers — ref hardcodes P3 names).
+    zeros_like (not coupler.zeros3d) so shapes stay local inside a
+    manual-sharding region."""
     if name in state:
         return state[name]
-    return coupler.zeros3d()
+    return jnp.zeros_like(state["density_dry"])
 
 
 def compute_gcm_forcing_tendencies(coupler: Coupler, state, dt_gcm):
@@ -82,12 +84,12 @@ def fill_holes(rho_x, dz):
       rho_x: (nens, nz, ny, nx) possibly-negative density.
       dz: (nens, nz) spacings.
     """
+    from ..parallel import comm
     dz4 = dz[:, :, None, None]
-    nxny = rho_x.shape[-1] * rho_x.shape[-2]
-    neg_mass = jnp.sum(jnp.where(rho_x < 0, -rho_x, 0.0) * dz4,
-                       axis=(-2, -1))  # (nens, nz)
+    neg_mass = comm.psum_h(jnp.where(rho_x < 0, -rho_x, 0.0) * dz4,
+                           (-2, -1))  # (nens, nz)
     rho_x = jnp.maximum(rho_x, 0.0)
-    pos_mass = jnp.sum(rho_x * dz4, axis=(-2, -1))
+    pos_mass = comm.psum_h(rho_x * dz4, (-2, -1))
     # per-level proportional removal
     factor = rho_x * dz4 / jnp.where(pos_mass == 0, 1.0, pos_mass)[:, :, None, None]
     take = jnp.where((pos_mass > 0)[:, :, None, None],
@@ -95,7 +97,7 @@ def fill_holes(rho_x, dz):
     rho_x = jnp.maximum(0.0, rho_x - take)
     # global fallback for levels whose negatives exceeded their positives
     residual = jnp.sum(jnp.maximum(0.0, neg_mass - pos_mass), axis=1)  # (nens,)
-    glob_pos = jnp.sum(rho_x * dz4, axis=(1, 2, 3))
+    glob_pos = jnp.sum(comm.psum_h(rho_x * dz4, (-2, -1)), axis=1)
     gfactor = rho_x * dz4 / jnp.where(glob_pos == 0, 1.0, glob_pos)[:, None, None, None]
     rho_x = jnp.maximum(0.0, rho_x - residual[:, None, None, None] * gfactor / dz4)
     return rho_x

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import operators as op
+from ..ops import dft
 from .tendencies import SpamTendencies
+from ..parallel import comm
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -115,12 +117,14 @@ class AnelasticPressureSolver:
         FW_in = w * (g.dx / dzp) * rho_di[:, 1:nz, None]
         zr = jnp.zeros_like(FW_in[:, :1, :])
         FW = jnp.concatenate([zr, FW_in, zr], axis=1)
-        mf = (jnp.roll(F, -1, axis=-1) - F) + (FW[:, 1:] - FW[:, :-1])
-        rhs = jnp.fft.fft(-mf, axis=-1)
+        mf = (op.rollm(F, 1) - F) + (FW[:, 1:] - FW[:, :-1])
+        # spectral Poisson solve: psum-DFT under x-sharding (ops/dft.py),
+        # redundant per-device tridiagonal, comm-free inverse
+        rhs = dft.fft_sh(-mf)
         rhs = rhs.at[:, self.kfix, 0].set(0.0)
         phat = self._tridiag(rhs)
-        p = jnp.real(jnp.fft.ifft(phat, axis=-1)).astype(v.dtype)
-        dv = p - jnp.roll(p, 1, axis=-1)          # D0 in x (:3495-3503)
+        p = dft.ifft_real_sh(phat).astype(v.dtype)
+        dv = p - op.rollm(p, -1)                  # D0 in x (:3495-3503)
         dw = p[:, 1:, :] - p[:, :-1, :]           # D0_vert (:3486-3494)
         return dv, dw
 

@@ -20,7 +20,7 @@ from .thermo import (ConstantKappaVirtualPottemp, IdealGasPottemp,
                      ThermoConstants)
 from .varset import VariableSet
 from .tendencies import SpamTendencies
-from .operators import mirror_layer
+from .operators import mirror_layer, rollm
 
 
 def thermo_constants_from_coupler(coupler: Coupler) -> ThermoConstants:
@@ -127,7 +127,7 @@ class SpamDycore:
         # winds (averaging; ref: variableset.h:874-911)
         uvel = state["uvel"][:, :, 0, :]
         wvel = state["wvel"][:, :, 0, :]
-        v = 0.5 * (uvel + jnp.roll(uvel, 1, axis=-1)) * g.dx
+        v = 0.5 * (uvel + rollm(uvel, -1)) * g.dx
         dzp = jnp.asarray(g.dz_p, uvel.dtype)[:, :, None]
         w = 0.5 * (wvel[:, :-1, :] + wvel[:, 1:, :]) * dzp
         return dens, v, w
@@ -149,7 +149,7 @@ class SpamDycore:
             out[name] = (dens[2 + idx] / area)[:, :, None, :]
         # winds back to cell centers (ref: variableset.h:594-652)
         u_edge = v / g.dx
-        uvel = 0.5 * (u_edge + jnp.roll(u_edge, -1, axis=-1))
+        uvel = 0.5 * (u_edge + rollm(u_edge, 1))
         dzp = jnp.asarray(g.dz_p, dens.dtype)[:, :, None]
         w_phys = w / dzp                      # (nens, nz-1, nx)
         # wvel at dual layer k: interface-weighted interp (ref :607-633)
@@ -213,12 +213,16 @@ class SpamDycore:
         """Advance coupler state by dt_phys: n_substeps SSPRK3 steps
         (ref: Dycore::timeStep, spam/Dycore.h:248-318), or SI steps of
         size si_dt when configured via with_si."""
+        from ..parallel import comm
+        # geop is a closed-over full-x constant: slice to the local x block
+        # inside a manual-x shard_map region (no-op otherwise)
+        geop = comm.local_xslice(self.geop, -1)
         if self.si_linsys is not None:
             from . import si as si_mod
             n_substeps = max(1, int(round(dt_phys / self.si_dt)))
             dtcrm = dt_phys / n_substeps
             stepper = lambda d_, v_, w_: si_mod.si_step(
-                self.tend, self.si_linsys, d_, v_, w_, self.geop, dtcrm,
+                self.tend, self.si_linsys, d_, v_, w_, geop, dtcrm,
                 self.si_max_iters, self.si_nquad)
         else:
             if n_substeps is None:
@@ -226,7 +230,7 @@ class SpamDycore:
                                                 self.compute_dt_dyn())))
             dtcrm = dt_phys / n_substeps
             stepper = lambda d_, v_, w_: self.tend.ssprk3_step(
-                d_, v_, w_, self.geop, dtcrm)
+                d_, v_, w_, geop, dtcrm)
         dens, v, w = self.coupler_to_dynamics(state)
 
         # NOTE: the lax.scan stays even for n_substeps == 1 — XLA compiles

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import weno
+from ..parallel import comm
 
 AXZ = -3  # z axis
 AXY = -2  # y axis
@@ -44,13 +45,15 @@ AXX = -1  # x axis
 
 
 def rx(a, s):
-    """a shifted so result[..., i] = a[..., i+s] along x (periodic)."""
-    return jnp.roll(a, -s, axis=AXX)
+    """a shifted so result[..., i] = a[..., i+s] along x (periodic);
+    explicit ppermute halo fetch inside a shard_map axis context."""
+    return comm.proll(a, s, axis=AXX)
 
 
 def ry(a, s):
-    """a shifted so result[..., j, :] = a[..., j+s, :] along y (periodic)."""
-    return jnp.roll(a, -s, axis=AXY)
+    """a shifted so result[..., j, :] = a[..., j+s, :] along y (periodic);
+    explicit ppermute halo fetch inside a shard_map axis context."""
+    return comm.proll(a, s, axis=AXY)
 
 
 def _flipz(a, sl):
@@ -77,7 +80,7 @@ def _edge_recon_h(field, tables, axis, recon_type: str = "wenofunc"):
     s2c, wrl, tvh, tvl, c2g, idl, sigma = tables
     ord = s2c.shape[-1]
     hs = (ord - 1) // 2
-    sten = [jnp.roll(field, hs - s, axis=axis) for s in range(ord)]
+    sten = [comm.proll(field, s - hs, axis=axis) for s in range(ord)]
     if recon_type == "cfv":
         aw = weno.cfv_coefs_list(sten, s2c)
     else:
@@ -120,7 +123,7 @@ def _upwind_h(left, right, flux, axis, utype="heaviside", coeff=250.0,
     """Twisted recon at the minus-side edge of each cell along a horizontal
     axis: flux>=0 selects the upwind cell's (i-1 / j-1) plus-side edge
     (recon.h upwind_recon via compute_twisted_recon)."""
-    cand_L = jnp.roll(right, 1, axis=axis)
+    cand_L = comm.proll(right, -1, axis=axis)
     if utype == "tanh":
         p = jnp.tanh((flux / area) * coeff)
         return 0.5 * (cand_L * (1 + p) + left * (1 - p))
@@ -255,7 +258,7 @@ class Tendencies3D:
         (interfaces 0..nz, boundary-weighted rows 1 and nz-1; rows 0/nz
         zero) along the given horizontal axis (functionals.h
         compute_hvxz/hvyz + _top/_bottom)."""
-        Ds = D + jnp.roll(D, 1, axis=axis)   # D[·] + D[·-1]
+        Ds = D + comm.proll(D, -1, axis=axis)   # D[·] + D[·-1]
         nz = D.shape[AXZ]
         full_int = 0.25 * (Ds[..., :-1, :, :] + Ds[..., 1:, :, :])
         bot = 0.25 * Ds[..., 1:2, :, :] + 0.5 * Ds[..., 0:1, :, :]
@@ -491,8 +494,8 @@ class Tendencies3D:
     def _Qhz_u(self, qr_pad, qvr, FW, axis, sgn):
         """Qxz_u_EC (axis=x, sgn=+1 for ndims=2, wedge.h:506) /
         Qyz_v_EC (axis=y, sgn=-1, wedge.h:635) — PV flux onto v-points."""
-        FWm = jnp.roll(FW, 1, axis=axis)
-        qrm = jnp.roll(qr_pad, 1, axis=axis)
+        FWm = comm.proll(FW, -1, axis=axis)
+        qrm = comm.proll(qr_pad, -1, axis=axis)
         t = (FW[..., 1:-2, :, :] * (qr_pad[..., 1:-2, :, :] + qvr[..., 1:-1, :, :]) +
              FWm[..., 1:-2, :, :] * (qrm[..., 1:-2, :, :] + qvr[..., 1:-1, :, :]) +
              FW[..., 2:-1, :, :] * (qr_pad[..., 2:-1, :, :] + qvr[..., 1:-1, :, :]) +

@@ -29,11 +29,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import weno
+from ..parallel import comm
 
 
 def shift(a, dj, di):
-    """result[..., j, i] = a[..., j+dj, i+di] (doubly periodic)."""
-    return jnp.roll(a, (-dj, -di), axis=(-2, -1))
+    """result[..., j, i] = a[..., j+dj, i+di] (doubly periodic); explicit
+    ppermute halo fetches inside a shard_map axis context."""
+    out = comm.proll(a, di, axis=-1) if di else a
+    return comm.proll(out, dj, axis=-2) if dj else out
 
 
 def _edge_recon(field, tables, axis):
@@ -42,7 +45,7 @@ def _edge_recon(field, tables, axis):
     s2c, wrl, tvh, tvl, c2g, idl, sigma = tables
     ord = s2c.shape[-1]
     hs = (ord - 1) // 2
-    sten = [jnp.roll(field, hs - s, axis=axis) for s in range(ord)]
+    sten = [comm.proll(field, s - hs, axis=axis) for s in range(ord)]
     aw = weno.weno_coefs_list(sten, s2c, wrl, tvh, tvl, idl, sigma)
     left = weno._eval_edge_list(aw, c2g[:, 0])
     right = weno._eval_edge_list(aw, c2g[:, 1])

@@ -17,13 +17,17 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..parallel import comm
+
 AXZ = -2  # z axis
 AXX = -1  # x axis
 
 
 def rollm(a, s):
-    """a shifted so that result[i] = a[i+s] along x (periodic)."""
-    return jnp.roll(a, -s, axis=AXX)
+    """a shifted so that result[i] = a[i+s] along x (periodic). Routed
+    through comm.proll: a plain jnp.roll unsharded / under GSPMD, an
+    explicit ppermute halo fetch inside a shard_map axis context."""
+    return comm.proll(a, s, axis=AXX)
 
 
 def _flip(a, sl):

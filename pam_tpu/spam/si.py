@@ -27,7 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import operators as op
+from ..ops import dft
 from .operators import AXZ
+from ..parallel import comm
 
 
 def gauss_01(n: int):
@@ -423,12 +425,9 @@ class CompressibleVelocityLinearSystem:
             rho_pi=rho_pi, rho_di=rho_di)
 
     # ------------------------------------------------------------------
-    def _tridiag(self, rhs):
+    def _tridiag(self, rhs, tri_l, tri_d, tri_u):
         """Complex Thomas solve batched over (nens, nx), scan over nl
         levels (extrudedmodel.h:3025-3050)."""
-        tri_l = jnp.asarray(self.tri_l)
-        tri_d = jnp.asarray(self.tri_d)
-        tri_u = jnp.asarray(self.tri_u)
         # move level axis front: (nl, nens, nx)
         L = jnp.moveaxis(tri_l, 1, 0)
         D = jnp.moveaxis(tri_d, 1, 0)
@@ -474,32 +473,40 @@ class CompressibleVelocityLinearSystem:
         bvar = -dtf * jnp.einsum('abek,bekx->aekx', Blin, rhs0)
         # rhs 2 - v/w transforms (:2930-2946)
         mod_v = jnp.einsum('aek,aekx->ekx', q_pi[:2],
-                           bvar - jnp.roll(bvar, 1, axis=-1))
+                           bvar - comm.proll(bvar, -1))
         v_t = rhs_v + mod_v
         mod_w = jnp.einsum('aek,aekx->ekx', q_di[:2, :, 1:nz],
                            bvar[:, :, 1:, :] - bvar[:, :, :-1, :])
         w_t = rhs_w + mod_w
 
-        vhat = jnp.fft.fft(v_t, axis=-1).astype(cdtype)
-        what = jnp.fft.fft(w_t, axis=-1).astype(cdtype)
+        # spectral solve: under x-sharding the forward DFT is a local
+        # contraction + psum over the x mesh axis (spectral space comes out
+        # replicated per device; the tridiagonal runs redundantly — nx is
+        # small — and the inverse needs no communication; ops/dft.py).
+        # The reference can only run this with x rank-local
+        # (extrudedmodel.h:2948).
+        vhat = dft.fft_sh(v_t).astype(cdtype)
+        what = dft.fft_sh(w_t).astype(cdtype)
 
         # modify wrhs (:2970-3023)
         a_kp1 = jnp.asarray(self.a_kp1, cdtype)
         a_k = jnp.asarray(self.a_k, cdtype)
         what = what + a_kp1 * vhat[:, 1:, :] - a_k * vhat[:, :-1, :]
 
-        what = self._tridiag(what)
+        what = self._tridiag(what, jnp.asarray(self.tri_l),
+                             jnp.asarray(self.tri_d),
+                             jnp.asarray(self.tri_u))
 
         # compute vhat (:3052-3077)
         zrow = jnp.zeros_like(what[:, :1, :])
-        w_up = jnp.concatenate([what, zrow], axis=1)     # w(k) for k<ni-1
-        w_dn = jnp.concatenate([zrow, what], axis=1)     # w(k-1) for k>0
+        w_up = jnp.concatenate([what, zrow], axis=1)  # w(k) for k<ni-1
+        w_dn = jnp.concatenate([zrow, what], axis=1)  # w(k-1) for k>0
         vhat = jnp.asarray(self.vcoeff0, cdtype) * vhat + \
             jnp.asarray(self.g_up, cdtype) * w_up - \
             jnp.asarray(self.g_dn, cdtype) * w_dn
 
-        sol_v = jnp.real(jnp.fft.ifft(vhat, axis=-1)).astype(rhs_v.dtype)
-        sol_w = jnp.real(jnp.fft.ifft(what, axis=-1)).astype(rhs_w.dtype)
+        sol_v = dft.ifft_real_sh(vhat).astype(rhs_v.dtype)
+        sol_w = dft.ifft_real_sh(what).astype(rhs_w.dtype)
 
         # recover densities (:3085-3159)
         rho_pi = jnp.asarray(self.rho_pi, rhs_v.dtype)[:, :, None]
@@ -510,7 +517,7 @@ class CompressibleVelocityLinearSystem:
         zr = jnp.zeros_like(FW_in[:, :1, :])
         FW = jnp.concatenate([zr, FW_in, zr], axis=1)  # (nens, nz+1, nx)
         ddens = jnp.einsum('aek,ekx->aekx', q_pi,
-                           jnp.roll(F, -1, axis=-1) - F) + \
+                           comm.proll(F, 1) - F) + \
             jnp.einsum('aek,ekx->aekx', q_di[:, :, 1:],
                        FW[:, 1:, :]) - \
             jnp.einsum('aek,ekx->aekx', q_di[:, :, :-1], FW[:, :-1, :])
@@ -788,10 +795,10 @@ class CompressiblePressureLinearSystem:
         if self.ndims == 2:
             fx = q_pi * F[0][None]
             fy = q_pi * F[1][None]
-            div = (jnp.roll(fx, -1, -1) - fx) + (jnp.roll(fy, -1, -2) - fy)
+            div = (comm.proll(fx, 1, -1) - fx) + (comm.proll(fy, 1, -2) - fy)
         else:
             fx = q_pi * F[0][None]
-            div = jnp.roll(fx, -1, -1) - fx
+            div = comm.proll(fx, 1, -1) - fx
         fz = q_di * FW[None]
         sl_hi = [slice(None)] * fz.ndim
         sl_lo = [slice(None)] * fz.ndim
@@ -815,15 +822,17 @@ class CompressiblePressureLinearSystem:
         linp = self._expand(self.linp)
         prhs = jnp.einsum('a...,a...->...', linp, B)
 
-        phat = jnp.fft.rfft(prhs, axis=-1)
+        # spectral solve: psum-DFT under x-sharding (ops/dft.py), redundant
+        # per-device tridiagonal, comm-free inverse. y stays chip-local.
+        phat = dft.rfft_sh(prhs)
         if self.ndims == 2:
-            phat = jnp.fft.fft(phat, axis=-2)
+            phat = dft.fft(phat, axis=-2)
         phat = _tridiag_real(jnp.asarray(self.tri_l, prhs.dtype),
                              jnp.asarray(self.tri_d, prhs.dtype),
                              jnp.asarray(self.tri_u, prhs.dtype), phat)
         if self.ndims == 2:
-            phat = jnp.fft.ifft(phat, axis=-2)
-        p = jnp.fft.irfft(phat, n=g.nx, axis=-1).astype(rhs_w.dtype)
+            phat = dft.ifft(phat, axis=-2)
+        p = dft.irfft_sh(phat, g.nx).astype(rhs_w.dtype)
 
         # velocity update (:3860-3917)
         sl_hi = [slice(None)] * p.ndim
@@ -834,9 +843,9 @@ class CompressiblePressureLinearSystem:
         sol_w = rhs_w - 0.5 * dt * dpdz / \
             self._expand(self.rho_di[:, 1:g.nz])
         rho_pi_x = self._expand(self.rho_pi)
-        dpdx = p - jnp.roll(p, 1, -1)
+        dpdx = p - comm.proll(p, -1, -1)
         if self.ndims == 2:
-            dpdy = p - jnp.roll(p, 1, -2)
+            dpdy = p - comm.proll(p, -1, -2)
             sol_v = jnp.stack([rhs_v[0] - 0.5 * dt * dpdx / rho_pi_x,
                                rhs_v[1] - 0.5 * dt * dpdy / rho_pi_x])
         else:
@@ -1006,10 +1015,11 @@ class CompressiblePressureGravityLinearSystem(CompressiblePressureLinearSystem):
         Bv = mf / (g.dx * g.dy * dzd)
         prhs = jnp.einsum('a...,a...->...', linp, Bv)
 
-        # ---- solve for pressure (:4351-4477) ----
-        phat = jnp.fft.rfft(prhs, axis=-1)
+        # ---- solve for pressure (:4351-4477): psum-DFT under x-sharding,
+        # redundant per-device spectral work, comm-free inverse ----
+        phat = dft.rfft_sh(prhs)
         if self.ndims == 2:
-            phat = jnp.fft.fft(phat, axis=-2)
+            phat = dft.fft(phat, axis=-2)
         Fh = jnp.asarray(self.Fhorz, rhs_w.dtype)
         Dmu = self._expand(jnp.asarray(self.Dmod_u, rhs_w.dtype))
         Dmd = self._expand(jnp.asarray(self.Dmod_d, rhs_w.dtype))
@@ -1038,16 +1048,16 @@ class CompressiblePressureGravityLinearSystem(CompressiblePressureLinearSystem):
             acc = acc + linp[d] * fHn1bar * (f_kp1 - f_k)
         phat = (phat + (al * al) * acc) / Fh
         if self.ndims == 2:
-            phat = jnp.fft.ifft(phat, axis=-2)
-        p = jnp.fft.irfft(phat, n=g.nx, axis=-1).astype(rhs_w.dtype)
+            phat = dft.ifft(phat, axis=-2)
+        p = dft.irfft_sh(phat, g.nx).astype(rhs_w.dtype)
 
         # ---- update velocity (:4479-4576) ----
         dpdz_mod = Dmu * p[tuple(sl_hi)] + Dmd * p[tuple(sl_lo)]
         sol_w = self._A_solve(-al * dpdz_mod) + rhs_w_mod
         rho_pi_x = self._expand(self.rho_pi)
-        dpdx = p - jnp.roll(p, 1, -1)
+        dpdx = p - comm.proll(p, -1, -1)
         if self.ndims == 2:
-            dpdy = p - jnp.roll(p, 1, -2)
+            dpdy = p - comm.proll(p, -1, -2)
             sol_v = jnp.stack([rhs_v[0] - al * dpdx / rho_pi_x,
                                rhs_v[1] - al * dpdy / rho_pi_x])
         else:

@@ -40,7 +40,7 @@ def _edge_recon_x(field, tables, recon_type: str = "wenofunc"):
     ord = s2c.shape[-1]
     hs = (ord - 1) // 2
     # periodic x stencils: stencil for cell i = cells i-hs..i+hs
-    sten = [jnp.roll(field, hs - s, axis=-1) for s in range(ord)]
+    sten = [rollm(field, s - hs) for s in range(ord)]
     if recon_type == "cfv":
         aw = weno.cfv_coefs_list(sten, s2c)
     else:
@@ -403,17 +403,20 @@ class SpamTendencies:
     # ------------------------------------------------------------------
     def energy(self, dens, v, w, geop):
         """Total/kinetic/potential/internal energy per ensemble member
-        (ref: ModelStats::compute, extrudedmodel.h:4599-4860)."""
+        (ref: ModelStats::compute, extrudedmodel.h:4599-4860). Sums finish
+        with a lax.psum over active horizontal mesh axes (the MPI_Ireduce
+        of extrudedmodel.h:4824-4835)."""
+        from ..parallel import comm
         g, vs, th = self.geom, self.varset, self.thermo
         rho_n = vs.get_total_density(dens)
         alpha = vs.get_alpha(dens)
         sv = vs.get_entropic_var(dens)
         qd, qv, ql, qi = vs.moist_qs(dens)
-        IE = jnp.sum(rho_n * th.compute_U(alpha, sv, qd, qv, ql, qi),
-                     axis=(-2, -1))
-        PE = jnp.sum(rho_n * op.Hn1bar(geop, g), axis=(-2, -1))
+        IE = comm.psum_h(rho_n * th.compute_U(alpha, sv, qd, qv, ql, qi),
+                         (-2, -1))
+        PE = comm.psum_h(rho_n * op.Hn1bar(geop, g), (-2, -1))
         _, _, K, _ = self.functional_derivatives(dens, v, w, geop)
-        KE = jnp.sum(op.Hn1bar(rho_n, g) * K, axis=(-2, -1))
+        KE = comm.psum_h(op.Hn1bar(rho_n, g) * K, (-2, -1))
         return KE + PE + IE, KE, PE, IE
 
     def ssprk3_step(self, dens, v, w, geop, dt):
@@ -438,10 +441,11 @@ class SpamTendencies:
         ModelStats::compute, extrudedmodel.h:4599-4860; MPI_Ireduce becomes
         a plain jnp reduction): density sums/min/max, energies, total PV and
         potential enstrophy."""
+        from ..parallel import comm
         E, KE, PE, IE = self.energy(dens, v, w, geop)
-        densstat = jnp.sum(dens, axis=(-2, -1))            # (ndens, nens)
-        densmin = jnp.min(dens, axis=(-2, -1))
-        densmax = jnp.max(dens, axis=(-2, -1))
+        densstat = comm.psum_h(dens, (-2, -1))             # (ndens, nens)
+        densmin = comm.pmin_h(dens, (-2, -1))
+        densmax = comm.pmax_h(dens, (-2, -1))
         rho_n = self.varset.get_total_density(dens)
         hv = op.R_avg(rho_n)
         w_pad = mirror_layer(w, 1)
@@ -449,10 +453,10 @@ class SpamTendencies:
         nz1 = zeta.shape[AXZ]
         k = jnp.arange(nz1)
         interior = ((k > 0) & (k < nz1 - 1))[None, :, None]
-        pv = jnp.sum(jnp.where(interior, zeta, 0.0), axis=(-2, -1))
-        pens = jnp.sum(jnp.where(interior,
-                                 0.5 * zeta * zeta /
-                                 jnp.where(hv == 0, 1.0, hv), 0.0),
-                       axis=(-2, -1))
+        pv = comm.psum_h(jnp.where(interior, zeta, 0.0), (-2, -1))
+        pens = comm.psum_h(jnp.where(interior,
+                                     0.5 * zeta * zeta /
+                                     jnp.where(hv == 0, 1.0, hv), 0.0),
+                           (-2, -1))
         return dict(densstat=densstat, densmin=densmin, densmax=densmax,
                     E=E, KE=KE, PE=PE, IE=IE, PV=pv, PENS=pens)

@@ -1,0 +1,226 @@
+"""Explicit shard_map/ppermute halo-exchange layer tests.
+
+The explicit manual-sharding path (pam_tpu.parallel.{comm,sharded_step})
+must reproduce the unsharded computation exactly — our analog of the
+reference's single-process Exchange loopback contract
+(exchange.h:434 exchange_direct vs the MPI path)."""
+
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+import pytest
+
+from pam_tpu.parallel import comm
+from pam_tpu.parallel.mesh import make_mesh
+from pam_tpu.parallel.sharded_step import (sharded_crm_step,
+                                           sharded_dycore_step, state_specs)
+
+
+def _mesh_ex(n_ens, n_x):
+    devs = np.array(jax.devices()[:n_ens * n_x]).reshape(n_ens, n_x)
+    return Mesh(devs, ("ens", "x"))
+
+
+# ---------------------------------------------------------------------------
+# comm primitives
+# ---------------------------------------------------------------------------
+
+def test_proll_matches_roll_under_shard_map():
+    mesh = _mesh_ex(2, 4)
+    a = np.random.RandomState(0).randn(4, 3, 16)
+
+    def body(x):
+        with comm.axis_ctx(x_axis="x"):
+            return comm.proll(x, 2) + 2.0 * comm.proll(x, -3)
+
+    f = shard_map(body, mesh=mesh, in_specs=P(None, None, "x"),
+                  out_specs=P(None, None, "x"), axis_names={"x"})
+    out = jax.jit(f)(jax.device_put(a, NamedSharding(mesh, P("ens", None, "x"))))
+    ref = np.roll(a, -2, -1) + 2.0 * np.roll(a, 3, -1)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_halo_pad_matches_periodic_pad():
+    mesh = _mesh_ex(1, 8)
+    a = np.random.RandomState(1).randn(2, 3, 32)
+
+    def body(x):
+        with comm.axis_ctx(x_axis="x"):
+            p = comm.halo_pad(x, 2)
+            # interior slice must equal the local block
+            return p[..., 2:-2], p[..., :2], p[..., -2:]
+
+    f = shard_map(body, mesh=mesh, in_specs=P(None, None, "x"),
+                  out_specs=(P(None, None, "x"), P(None, None, "x"),
+                             P(None, None, "x")), axis_names={"x"})
+    mid, lo, hi = jax.jit(f)(jax.device_put(
+        a, NamedSharding(mesh, P(None, None, "x"))))
+    np.testing.assert_array_equal(np.asarray(mid), a)
+    # left halo of block b = last 2 cols of block b-1 (periodic): gathered
+    # left halos = roll(a, 2) reshaped to blocks' leading 2 columns
+    blocks = a.reshape(2, 3, 8, 4)
+    np.testing.assert_array_equal(np.asarray(lo).reshape(2, 3, 8, 2),
+                                  np.roll(blocks, 1, axis=2)[..., -2:])
+    np.testing.assert_array_equal(np.asarray(hi).reshape(2, 3, 8, 2),
+                                  np.roll(blocks, -1, axis=2)[..., :2])
+
+
+def test_transpose_x_local_roundtrip():
+    mesh = _mesh_ex(2, 4)
+    a = np.random.RandomState(2).randn(8, 3, 16)
+
+    def body(x):
+        with comm.axis_ctx(x_axis="x"):
+            t = comm.transpose_to_x_local(x, 0, 2)
+            with comm.x_local():
+                t = jnp.fft.irfft(jnp.fft.rfft(t, axis=-1), n=16, axis=-1)
+            return comm.transpose_from_x_local(t, 0, 2)
+
+    f = shard_map(body, mesh=mesh, in_specs=P(None, None, "x"),
+                  out_specs=P(None, None, "x"), axis_names={"x"})
+    out = jax.jit(f)(jax.device_put(a, NamedSharding(mesh,
+                                                     P("ens", None, "x"))))
+    np.testing.assert_allclose(np.asarray(out), a, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# full steps: explicit shard_map == unsharded
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mmf_awfl():
+    from pam_tpu.driver.mmf import setup_supercell_mmf
+    from pam_tpu.modules import gcm_forcing
+    drv, state = setup_supercell_mmf(nx=16, ny=1, nz=12, nens=8,
+                                     xlen=32000.0, ylen=64000.0,
+                                     zlen=20000.0, micro="kessler",
+                                     dt_gcm=80.0, dt_crm_phys=20.0)
+    state = gcm_forcing.compute_gcm_forcing_tendencies(drv.coupler, state,
+                                                       drv.dt_gcm)
+    return drv, state
+
+
+@pytest.fixture(scope="module")
+def mmf_spam_si():
+    from pam_tpu.driver.mmf import setup_supercell_mmf
+    from pam_tpu.modules import gcm_forcing
+    drv, state = setup_supercell_mmf(nx=16, ny=1, nz=12, nens=8,
+                                     xlen=32000.0, ylen=64000.0,
+                                     zlen=20000.0, micro="kessler",
+                                     dt_gcm=80.0, dt_crm_phys=20.0,
+                                     dycore="spam")
+    state = gcm_forcing.compute_gcm_forcing_tendencies(drv.coupler, state,
+                                                       drv.dt_gcm)
+    return drv, state
+
+
+def _compare(ref, out, keys=("temp", "uvel", "wvel", "water_vapor",
+                             "density_dry")):
+    for k in keys:
+        np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(out[k]),
+                                   rtol=1e-11, atol=1e-11, err_msg=k)
+
+
+def test_explicit_crm_step_awfl_matches_unsharded(mmf_awfl):
+    drv, state = mmf_awfl
+    ref = jax.jit(drv.crm_phys_step)(state)
+    mesh = make_mesh(n_ens_shards=2, n_x_shards=4)
+    step, place = sharded_crm_step(drv, mesh)
+    out = step(place(state))
+    _compare(ref, out)
+
+
+def test_explicit_crm_step_spam_si_matches_unsharded(mmf_spam_si):
+    """SPAM + semi-implicit (FFT solve via all_to_all transpose) under
+    explicit 4-way x sharding — the configuration the reference can only
+    run with x rank-local (extrudedmodel.h:2948)."""
+    drv, state = mmf_spam_si
+    ref = jax.jit(drv.crm_phys_step)(state)
+    mesh = make_mesh(n_ens_shards=2, n_x_shards=4)
+    step, place = sharded_crm_step(drv, mesh)
+    out = step(place(state))
+    _compare(ref, out)
+
+
+def test_explicit_spam_si_multi_step(mmf_spam_si):
+    """10 steps sharded == 10 steps unsharded (steady-state comm pattern)."""
+    drv, state = mmf_spam_si
+    ref_step = jax.jit(drv.crm_phys_step)
+    mesh = make_mesh(n_ens_shards=2, n_x_shards=4)
+    step, place = sharded_crm_step(drv, mesh)
+    ref, out = state, place(state)
+    for _ in range(10):
+        ref = ref_step(ref)
+        out = step(out)
+    _compare(ref, out)
+
+
+def test_explicit_dycore_step_spam_matches(mmf_spam_si):
+    drv, state = mmf_spam_si
+    ref = jax.jit(lambda s: drv.dycore.timestep(s, 20.0))(state)
+    mesh = make_mesh(n_ens_shards=4, n_x_shards=2)
+    step = sharded_dycore_step(drv.dycore, mesh, 20.0)
+    sh = {k: NamedSharding(mesh, P("ens", None, None, "x")
+                           if v.ndim == 4 else P("ens") if v.ndim else P())
+          for k, v in state.items()}
+    out = step({k: jax.device_put(v, sh[k]) for k, v in state.items()})
+    _compare(ref, out)
+
+
+# ---------------------------------------------------------------------------
+# collective accounting from compiled HLO
+# ---------------------------------------------------------------------------
+
+def _collective_counts(compiled_text):
+    return {opn: len(re.findall(opn + r"\(", compiled_text))
+            for opn in ("collective-permute", "all-to-all", "all-gather",
+                        "all-reduce", "reduce-scatter")}
+
+
+def test_ens_only_sharded_si_step_is_collective_free(mmf_spam_si):
+    """Pure ensemble sharding (the production MMF layout) must compile with
+    ZERO data-moving collectives — the nens axis is embarrassingly parallel
+    (SURVEY §2.7). Guards VERDICT r1 item 6: with jnp.fft the SI solve
+    all-gathered the ensemble dim (24x/step); the matmul DFT (ops/dft.py)
+    partitions cleanly. The only collective allowed is the SCALAR
+    all-reduce of Kessler's global rainsplit CFL min — a true global
+    reduction in the reference too (micro kessler, Microphysics.h:372-390).
+    """
+    drv, state = mmf_spam_si
+    mesh = make_mesh(n_ens_shards=8, n_x_shards=1)
+    sh = {k: NamedSharding(mesh, P("ens") if v.ndim else P())
+          for k, v in state.items()}
+    placed = {k: jax.device_put(v, sh[k]) for k, v in state.items()}
+    txt = jax.jit(drv.crm_phys_step).lower(placed).compile().as_text()
+    counts = _collective_counts(txt)
+    assert counts["all-gather"] == 0, counts
+    assert counts["all-to-all"] == 0, counts
+    assert counts["collective-permute"] == 0, counts
+    assert counts["reduce-scatter"] == 0, counts
+    # all-reduces must be scalar (shape f64[] / f32[])
+    for line in txt.splitlines():
+        if "all-reduce(" in line and "=" in line:
+            shape = line.split("=", 1)[1].strip().split(" ")[0]
+            assert re.match(r"(f32|f64)\[\]", shape), line.strip()[:160]
+
+
+def test_explicit_x_sharded_collective_profile(mmf_spam_si):
+    """The explicit path must place ONLY the collectives we chose:
+    ppermutes (halo fetches) and all-reduces (spectral psum-DFT forward +
+    horizontal stat/means) — in particular ZERO all-gathers (no state
+    replication) and zero all-to-alls (the psum-DFT replaced the
+    transpose; ops/dft.py)."""
+    drv, state = mmf_spam_si
+    mesh = make_mesh(n_ens_shards=2, n_x_shards=4)
+    step, place = sharded_crm_step(drv, mesh)
+    placed = place(state)
+    compiled = jax.jit(step).lower(placed).compile()
+    counts = _collective_counts(compiled.as_text())
+    assert counts["collective-permute"] > 0, counts
+    assert counts["all-reduce"] > 0, counts
+    assert counts["all-gather"] == 0, counts
+    assert counts["all-to-all"] == 0, counts
