@@ -44,14 +44,18 @@ def main():
     n_crm_steps = int(os.environ.get("PAM_BENCH_STEPS", "60"))
     # PAM-C (SPAM + semi-implicit) is the reference's production MMF dycore
     # (inputs/input_pamc.yaml); PAM_BENCH_DYCORE=awfl benches PAM-A instead.
+    # PAM_BENCH_MICRO=p3 PAM_BENCH_SGS=shoc benches the full production
+    # physics stack (the reference CI config inputs/ci/input_pamc.yaml).
     dycore = os.environ.get("PAM_BENCH_DYCORE", "spam")
     linsys = os.environ.get("PAM_BENCH_LINSYS", "velocity")
+    micro = os.environ.get("PAM_BENCH_MICRO", "kessler")
+    sgs = os.environ.get("PAM_BENCH_SGS", "none")
     dycore_kwargs = {"linear_system": linsys} if dycore == "spam" else None
 
     log(f"devices: {jax.devices()}")
     drv, state = setup_supercell_mmf(
         nx=nx, ny=ny, nz=nz, nens=nens, xlen=128000.0, ylen=64000.0,
-        zlen=20000.0, micro="kessler", dt_gcm=900.0, dt_crm_phys=20.0,
+        zlen=20000.0, micro=micro, sgs=sgs, dt_gcm=900.0, dt_crm_phys=20.0,
         dycore=dycore, dtype=jnp.float32, dycore_kwargs=dycore_kwargs)
     state = gcm_forcing.compute_gcm_forcing_tendencies(
         drv.coupler, state, drv.dt_gcm)

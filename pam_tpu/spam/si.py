@@ -11,10 +11,12 @@ Parity reference:
   the old and new states); PAM-coupled defaults si_max_iters=3, si_nquad=2
   (core/params.h:148-158).
 
-TPU-native design: the reference's yakl pocketfft calls become
-``jnp.fft.fft`` along x; the per-column scalar Thomas recurrence becomes a
-``lax.scan`` over levels batched across (ens, wavenumber); the fixed
-quasi-Newton iteration count unrolls under jit (no convergence branch).
+TPU-native design: the reference's yakl pocketfft calls become matmul
+DFTs along x (MXU-tiled, batch-shardable — ops/dft.py; under x-sharding
+the forward transform is a local contraction + psum and the inverse is
+comm-free); the per-column scalar Thomas recurrence becomes a ``lax.scan``
+over levels batched across (ens, wavenumber); the fixed quasi-Newton
+iteration count unrolls under jit (no convergence branch).
 """
 
 from __future__ import annotations
@@ -493,9 +495,9 @@ class CompressibleVelocityLinearSystem:
         a_k = jnp.asarray(self.a_k, cdtype)
         what = what + a_kp1 * vhat[:, 1:, :] - a_k * vhat[:, :-1, :]
 
-        what = self._tridiag(what, jnp.asarray(self.tri_l),
-                             jnp.asarray(self.tri_d),
-                             jnp.asarray(self.tri_u))
+        what = self._tridiag(what, jnp.asarray(self.tri_l, cdtype),
+                             jnp.asarray(self.tri_d, cdtype),
+                             jnp.asarray(self.tri_u, cdtype))
 
         # compute vhat (:3052-3077)
         zrow = jnp.zeros_like(what[:, :1, :])
