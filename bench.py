@@ -50,7 +50,11 @@ def main():
     linsys = os.environ.get("PAM_BENCH_LINSYS", "velocity")
     micro = os.environ.get("PAM_BENCH_MICRO", "kessler")
     sgs = os.environ.get("PAM_BENCH_SGS", "none")
-    dycore_kwargs = {"linear_system": linsys} if dycore == "spam" else None
+    # PAM_BENCH_TWOPOINT=1 enables the reference's (off-by-default) exact
+    # two-point discrete gradient (si_two_point_discrete_gradient)
+    two_point = os.environ.get("PAM_BENCH_TWOPOINT", "0") == "1"
+    dycore_kwargs = ({"linear_system": linsys, "si_two_point": two_point}
+                     if dycore == "spam" else None)
 
     log(f"devices: {jax.devices()}")
     drv, state = setup_supercell_mmf(

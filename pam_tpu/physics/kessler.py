@@ -47,10 +47,14 @@ def _terminal_velocity(qr, r, rhalf):
 
 
 def kessler_column(theta, qv, qc, qr, rho, z, exner, dt, c: Constants):
-    """Advance the Kessler scheme by dt.
+    """Advance the Kessler scheme by dt, in COLUMN layout.
 
-    All fields are (nens, nz, ny, nx); rho is DRY density; z is midpoint
-    height (nens, nz); exner = (p/p0)^(R/cp). Returns
+    All fields are (nz, ...cols...) with z LEADING (surface at index 0) —
+    the analog of the reference's get_lev_col view (DataManager.h:322);
+    the wrapper packs columns so the TPU lane dim is the (128-multiple)
+    ensemble axis instead of nx (a 2x tile-efficiency win over the
+    (nens, nz, ny, nx) coupler layout). rho is DRY density; z is midpoint
+    height broadcastable to the fields; exner = (p/p0)^(R/cp). Returns
     (theta, qv, qc, qr, precl) with precl in m/s.
     Ref: Microphysics::kessler, Microphysics.h:346-449.
     """
@@ -59,16 +63,15 @@ def kessler_column(theta, qv, qc, qr, rho, z, exner, dt, c: Constants):
     lv = 2.5e6
     Rd, cp = c.R_d, c.cp_d
 
-    z4 = z[:, :, None, None]
     r = 0.001 * rho
-    rhalf = jnp.sqrt(rho[:, :1] / rho)
+    rhalf = jnp.sqrt(rho[:1] / rho)
     pc = 3.8 / (exner ** (cp / Rd) * psl)
     velqr = _terminal_velocity(qr, r, rhalf)
 
     # global CFL-limited sub-step (ref: Microphysics.h:372-390)
-    dz_up = z4[:, 1:] - z4[:, :-1]
-    dt2d = jnp.where(velqr[:, :-1] > 1.0e-10,
-                     0.8 * dz_up / velqr[:, :-1], dt)
+    dz_up = z[1:] - z[:-1]
+    dt2d = jnp.where(velqr[:-1] > 1.0e-10,
+                     0.8 * dz_up / velqr[:-1], dt)
     dt_max = jnp.minimum(jnp.min(dt2d), dt)
     rainsplit = jnp.ceil(dt / dt_max).astype(jnp.int32)
     dt0 = dt / rainsplit.astype(theta.dtype)
@@ -76,13 +79,13 @@ def kessler_column(theta, qv, qc, qr, rho, z, exner, dt, c: Constants):
     def subcycle(carry):
         nt, theta, qv, qc, qr, velqr, precl = carry
         # surface precipitation accumulation (ref: :399-401)
-        precl = precl + rho[:, 0] * qr[:, 0] * velqr[:, 0] / rhoqr
+        precl = precl + rho[0] * qr[0] * velqr[0] / rhoqr
         # upstream sedimentation (ref: :403-408)
         rqv = r * qr * velqr
-        sed_int = dt0 * (rqv[:, 1:] - rqv[:, :-1]) / (r[:, :-1] * dz_up)
-        sed_top = -dt0 * qr[:, -1:] * velqr[:, -1:] / \
-            (0.5 * (z4[:, -1:] - z4[:, -2:-1]))
-        sed = jnp.concatenate([sed_int, sed_top], axis=1)
+        sed_int = dt0 * (rqv[1:] - rqv[:-1]) / (r[:-1] * dz_up)
+        sed_top = -dt0 * qr[-1:] * velqr[-1:] / \
+            (0.5 * (z[-1:] - z[-2:-1]))
+        sed = jnp.concatenate([sed_int, sed_top], axis=0)
         # autoconversion + accretion, KW eq. 2.13 (ref: :413-417)
         qrprod = qc - (qc - dt0 * jnp.maximum(0.001 * (qc - 0.001), 0.0)) / \
             (1.0 + dt0 * 2.2 * jnp.maximum(qr, 0.0) ** 0.875)
@@ -104,7 +107,7 @@ def kessler_column(theta, qv, qc, qr, rho, z, exner, dt, c: Constants):
         velqr = _terminal_velocity(qr, r, rhalf)
         return nt + 1, theta, qv, qc, qr, velqr, precl
 
-    precl0 = jnp.zeros_like(rho[:, 0])
+    precl0 = jnp.zeros_like(theta[0])
     carry = (jnp.int32(0), theta, qv, qc, qr, velqr, precl0)
     carry = jax.lax.while_loop(lambda ca: ca[0] < rainsplit, subcycle, carry)
     _, theta, qv, qc, qr, _, precl = carry
@@ -125,22 +128,35 @@ class KesslerMicro:
     def timestep(self, state, dt):
         cpl, c = self.coupler, self.coupler.const
         out = dict(state)
-        rho_d = state["density_dry"]
-        temp = state["temp"]
-        rho_v = state["water_vapor"]
-        rho_c = state["cloud_liquid"]
-        rho_r = state["precip_liquid"]
+        nens, nz, ny, nx = state["temp"].shape
+
+        # column layout (nz, ny*nx, nens): lane dim = nens (128-multiple in
+        # production) instead of nx=65 — full (8,128) tiles vs the 2x-padded
+        # T(1,128) tiling of the coupler layout (the reference's get_lev_col
+        # trick, DataManager.h:322, applied for TPU tile efficiency)
+        def col(f):
+            return jnp.transpose(f, (1, 2, 3, 0)).reshape(nz, ny * nx, nens)
+
+        def uncol(f):
+            return jnp.transpose(f.reshape(nz, ny, nx, nens), (3, 0, 1, 2))
+
+        rho_d = col(state["density_dry"])
+        temp = col(state["temp"])
+        rho_v = col(state["water_vapor"])
+        rho_c = col(state["cloud_liquid"])
+        rho_r = col(state["precip_liquid"])
         qv, qc, qr = rho_v / rho_d, rho_c / rho_d, rho_r / rho_d
         pressure = c.R_d * rho_d * temp + c.R_v * rho_v * temp
         exner = (pressure / c.p0) ** (c.R_d / c.cp_d)
         theta = temp / exner
-        zmid = state["vertical_midpoint_height"]
+        zmid = jnp.transpose(state["vertical_midpoint_height"],
+                             (1, 0))[:, None, :]        # (nz, 1, nens)
         theta, qv, qc, qr, precl = kessler_column(
             theta, qv, qc, qr, rho_d, zmid, exner, dt, c)
-        out["water_vapor"] = qv * rho_d
-        out["cloud_liquid"] = qc * rho_d
-        out["precip_liquid"] = qr * rho_d
+        out["water_vapor"] = uncol(qv * rho_d)
+        out["cloud_liquid"] = uncol(qc * rho_d)
+        out["precip_liquid"] = uncol(qr * rho_d)
         # theta is defined wrt the pre-micro exner (ref: Microphysics.h:251-258)
-        out["temp"] = theta * exner
-        out["precl"] = precl
+        out["temp"] = uncol(theta * exner)
+        out["precl"] = jnp.transpose(precl.reshape(ny, nx, nens), (2, 0, 1))
         return out

@@ -100,6 +100,9 @@ class SpamDycore:
     si_dt: float = None
     si_max_iters: int = 3
     si_nquad: int = 2
+    # exact two-point discrete gradient (si_two_point_discrete_gradient,
+    # params.h:158; default off, matching the reference)
+    si_two_point: bool = False
     # exact inversion of the edge-averaging wind conversion (requires odd
     # horizontal cell counts — ref: couple_wind_exact_inverse,
     # variableset.h:225-233, 807-875)
@@ -155,7 +158,8 @@ class SpamDycore:
     def build_coupled(coupler: Coupler, state, zint, dt_si,
                       si_max_iters: int = 3, si_nquad: int = 2,
                       variant: str = "MCE_rho",
-                      linear_system: str = "velocity") -> "SpamDycore":
+                      linear_system: str = "velocity",
+                      si_two_point: bool = False) -> "SpamDycore":
         """Full coupled setup mirroring the reference's MMF configuration:
         MCE_rho + ConstantKappa_VirtualPottemp, thermo constants copied from
         the coupler, SI reference state built from the coupler's ref_*
@@ -170,7 +174,8 @@ class SpamDycore:
         refstate = si_mod.build_coupled_reference_state(
             state, dyc.geom, thermo, dyc.varset, coupler.const.grav)
         return dyc.with_si(refstate, dt_si, max_iters=si_max_iters,
-                           nquad=si_nquad, linear_system=linear_system)
+                           nquad=si_nquad, linear_system=linear_system,
+                           two_point=si_two_point)
 
     # ------------------------------------------------------- conversions
     def coupler_to_dynamics(self, state):
@@ -292,7 +297,7 @@ class SpamDycore:
         return cfl * min(self.geom.dx, dz) / cs
 
     def with_si(self, refstate, dt_si, max_iters: int = 3, nquad: int = 2,
-                linear_system: str = "velocity"):
+                linear_system: str = "velocity", two_point: bool = False):
         """Return a copy configured for semi-implicit stepping at fixed
         dt_si with the given reference state (ref tstype="si" +
         set_reference_state; timestep then takes dt_si-sized SI steps
@@ -327,7 +332,7 @@ class SpamDycore:
                 grav=self.grav)
         return dataclasses.replace(self, tend=tend, si_linsys=linsys,
                                    si_dt=dt_si, si_max_iters=max_iters,
-                                   si_nquad=nquad)
+                                   si_nquad=nquad, si_two_point=two_point)
 
     def timestep(self, state, dt_phys, n_substeps: int = None):
         """Advance coupler state by dt_phys: n_substeps SSPRK3 steps
@@ -343,7 +348,8 @@ class SpamDycore:
             dtcrm = dt_phys / n_substeps
             stepper = lambda d_, v_, w_: si_mod.si_step(
                 self.tend, self.si_linsys, d_, v_, w_, geop, dtcrm,
-                self.si_max_iters, self.si_nquad)
+                self.si_max_iters, self.si_nquad,
+                two_point=self.si_two_point)
         else:
             if n_substeps is None:
                 n_substeps = max(1, int(np.ceil(dt_phys /

@@ -531,6 +531,77 @@ class CompressibleVelocityLinearSystem:
 # SI (quasi-Newton) time integrator
 # ---------------------------------------------------------------------------
 
+def gamma_avg(a, b, gamma):
+    """Exact discrete-gradient average of x^(gamma-1):
+    (a^g - b^g)/(g (a-b)), with the series expansion near a == b
+    (compressible_euler.h gamma_avg:10-23)."""
+    f = (a - b) / (a + b)
+    v = f * f
+    c1 = (gamma - 1.0) * (gamma - 2.0) / 6.0
+    c2 = (gamma - 3.0) * (gamma - 4.0) / 20.0
+    c3 = (gamma - 5.0) * (gamma - 6.0) / 42.0
+    x = (0.5 * (a + b)) ** (gamma - 1.0)
+    series = x * (1.0 + c1 * v * (1.0 + c2 * v * (1.0 + c3 * v)))
+    denom = jnp.where(v < 1e-4, 1.0, gamma * (a - b))
+    exact = (a ** gamma - b ** gamma) / denom
+    return jnp.where(v < 1e-4, series, exact)
+
+
+def two_point_discrete_gradient(tend, x1, x2, geop):
+    """EXACT two-point discrete gradient for the CE/MCE Hamiltonians with
+    pottemp-family thermodynamics (compute_two_point_discrete_gradient,
+    extrudedmodel.h:2086-2172 + compressible_euler.h:114-157, 260-304):
+
+      F  = 1/4 (he1 + he2)(u1 + u2);  FW likewise;  K = (K1 + K2)/2
+      B_mass = Hn1bar(geop) + Hn1bar(K)   (U + p alpha - sv Pi == 0 for
+               these potentials; moist species decouple)
+      B_entr = Cpd (Rd/pr)^(gamma-1) * gamma_avg(Tht1, Tht2, gamma)
+
+    One evaluation replaces the nquad-point quadrature and makes the
+    implicit-midpoint energy balance exact (the reference's
+    si_two_point_discrete_gradient option, params.h:158)."""
+    from .operators import mirror_layer, rollm
+    g, vs, th = tend.geom, tend.varset, tend.thermo
+    assert x1[0].ndim == 4, "two-point discrete gradient is slab-only here"
+    cname = type(th).__name__
+    if cname not in ("IdealGasPottemp", "ConstantKappaVirtualPottemp"):
+        raise NotImplementedError(
+            "two-point discrete gradient not implemented for this "
+            f"hamiltonian/thermo combination ({cname}); the reference "
+            "throws likewise (extrudedmodel.h:2100-2103)")
+
+    def he_u_K(dens, v, w):
+        rho_n = vs.get_total_density(dens)
+        rho0 = op.Hn1bar_ho(rho_n, g, tend.diff_ord)
+        he = op.phi_x(rho0)
+        hew = op.phi_z_iface(mirror_layer(rho0, 1))
+        u = op.H10_ho(v, g, tend.diff_ord)
+        uw = op.H01(w, g)
+        v_r = rollm(v, 1)
+        u_r = rollm(u, 1)
+        Kh = 0.5 * (v * u + v_r * u_r)
+        w_pad = mirror_layer(w, 1)
+        Kv = 0.5 * (w_pad[..., :-1, :] * uw[..., :-1, :] +
+                    w_pad[..., 1:, :] * uw[..., 1:, :])
+        return he, hew, u, uw, 0.5 * (Kh + Kv)
+
+    he1, hew1, u1, uw1, K1 = he_u_K(*x1)
+    he2, hew2, u2, uw2, K2 = he_u_K(*x2)
+    F = 0.25 * (he1 + he2) * (u1 + u2)
+    FW = 0.25 * (hew1 + hew2) * (uw1 + uw2)
+    K = 0.5 * (K1 + K2)
+
+    area = jnp.asarray(g.d_area_n1(), F.dtype)[:, :, None]
+    Tht1 = x1[0][vs.dens_id_entr] / area
+    Tht2 = x2[0][vs.dens_id_entr] / area
+    cst = th.cst
+    gexner = cst.Cpd * (cst.Rd / cst.pr) ** (cst.gamma_d - 1.0) * \
+        gamma_avg(Tht1, Tht2, cst.gamma_d)
+    B_mass = op.Hn1bar(geop, g) + op.Hn1bar(K, g)
+    B = jnp.stack([B_mass, gexner])
+    return F, FW, B
+
+
 def _discrete_gradient(tend, x, xn, geop, pts, wts):
     """Quadrature-averaged functional derivatives between x and xn
     (time_integrator.h compute_discrete_gradient:51-70). All quadrature
@@ -567,10 +638,13 @@ def _apply_symplectic_full(tend, xm, Fa, FWa, Ba, dt):
 
 
 def si_step(tend, linsys, dens, v, w, geop, dt, max_iters: int = 3,
-            nquad: int = 2):
+            nquad: int = 2, two_point: bool = False):
     """One semi-implicit step (SI_Newton.h step_forward:31-149, with the
     PAM-coupled fixed iteration count — monitor_convergence=0,
-    si_max_iters=3, si_nquad=2, core/params.h:153-158)."""
+    si_max_iters=3, si_nquad=2, core/params.h:153-158). two_point selects
+    the exact two-point discrete gradient instead of the nquad-point
+    quadrature (si_two_point_discrete_gradient, params.h:158 — off by
+    default in the reference too)."""
     pts, wts = gauss_01(nquad)
 
     dxd, dxv, dxw = tend.compute_rhs(dens, v, w, geop, dt)
@@ -583,8 +657,12 @@ def si_step(tend, linsys, dens, v, w, geop, dt, max_iters: int = 3,
     for _ in range(max_iters):
         sol = linsys.solve(*res)
         xn = tuple(a + b for a, b in zip(xn, sol))
-        Fa, FWa, Ba = _discrete_gradient(tend, (dens, v, w), xn, geop, pts,
-                                         wts)
+        if two_point:
+            Fa, FWa, Ba = two_point_discrete_gradient(tend, (dens, v, w),
+                                                      xn, geop)
+        else:
+            Fa, FWa, Ba = _discrete_gradient(tend, (dens, v, w), xn, geop,
+                                             pts, wts)
         xm = tuple(0.5 * (a + b) for a, b in zip((dens, v, w), xn))
         dxd, dxv, dxw = _apply_symplectic_full(tend, xm, Fa, FWa, Ba, dt)
         res = (dens - xn[0] - dt * dxd, v - xn[1] - dt * dxv,

@@ -92,3 +92,54 @@ def test_fortran_bindings_generate():
     exported = set(re.findall(r" T (pam_interface_\w+)", syms))
     missing = bound - exported
     assert not missing, missing
+
+
+def test_c_abi_driver_full_surface(tmp_path):
+    """Compile + run the C ABI driver (native/abi_test.c) — the analog of
+    the reference's fortran_test.F90, exercising the extern "C" surface the
+    generated Fortran bindings call (no Fortran compiler in this image)."""
+    import os
+    import subprocess
+    from pam_tpu import interface as iface
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    iface._build_and_load()
+    so = os.path.join(root, "native", "libpam_interface.so")
+    src = os.path.join(root, "native", "abi_test.c")
+    exe = str(tmp_path / "abi_test")
+    subprocess.run(["g++", "-O1", src, so, "-o", exe,
+                    f"-Wl,-rpath,{os.path.dirname(so)}"], check=True)
+    out = subprocess.run([exe], capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr + out.stdout
+    assert "ALL OK" in out.stdout
+
+
+def test_fortran_bindings_generation_parity():
+    """The generated pam_fortran_interface.F90 must be current (re-running
+    the generator reproduces it) and expose the reference surface families
+    over 4 types x ranks 1-7 (ref: pam_fortran_interface.F90, 105
+    procedures)."""
+    import os
+    import re
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gen = subprocess.run(
+        [sys.executable, os.path.join(root, "native",
+                                      "generate_fortran_interface.py")],
+        capture_output=True, text=True, check=True).stdout
+    on_disk = open(os.path.join(root, "native",
+                                "pam_fortran_interface.F90")).read()
+    assert gen == on_disk, "regenerate native/pam_fortran_interface.F90"
+    names = set(re.findall(r"(?:subroutine|function) (pam_[a-z_0-9]+)", gen))
+    for fam in ("pam_mirror_array_readonly_double_7d",
+                "pam_mirror_array_readwrite_logical_1d",
+                "pam_get_array_float_4d", "pam_create_array_integer",
+                "pam_destroy_array", "pam_array_exists",
+                "pam_make_readonly", "pam_set_option_string",
+                "pam_get_option_stringlen", "pam_option_exists",
+                "pam_register_dimension", "pam_get_dimension_size",
+                "pam_finalize"):
+        assert fam in names, fam
+    n_procs = len(re.findall(r"^  (?:subroutine|function) pam_", gen,
+                             re.MULTILINE))
+    assert n_procs >= 100, n_procs  # reference: 105 definitions

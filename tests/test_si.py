@@ -279,3 +279,43 @@ def test_pressure_gravity_stable_in_stratified_mmf_f32():
         state = step(state)
     assert bool(np.isfinite(np.asarray(state["temp"])).all())
     assert bool(np.isfinite(np.asarray(state["wvel"])).all())
+
+
+def test_two_point_discrete_gradient_si():
+    """si_two_point_discrete_gradient (params.h:158 + extrudedmodel.h:
+    2086-2172): the exact two-point gradient must stay close to the
+    2-point-quadrature SI trajectory and conserve energy at least as well
+    over a rising-bubble run."""
+    import jax
+    from pam_tpu.driver.mmf import setup_supercell_mmf
+    kw = dict(nx=16, ny=1, nz=16, nens=1, xlen=32000.0, ylen=64000.0,
+              zlen=20000.0, micro="kessler", dt_gcm=1e9, dt_crm_phys=20.0,
+              dycore="spam")
+    _, state = setup_supercell_mmf(**kw)
+    drv_q, _ = setup_supercell_mmf(**kw)
+    drv_tp, _ = setup_supercell_mmf(
+        **{**kw, "dycore_kwargs": {"si_two_point": True}})
+    dq, dtp = drv_q.dycore, drv_tp.dycore
+    dens, v, w = dq.coupler_to_dynamics(state)
+
+    from pam_tpu.spam import si as si_mod
+    step_q = jax.jit(lambda d, vv, ww: si_mod.si_step(
+        dq.tend, dq.si_linsys, d, vv, ww, dq.geop, 20.0, 3, 2))
+    step_tp = jax.jit(lambda d, vv, ww: si_mod.si_step(
+        dtp.tend, dtp.si_linsys, d, vv, ww, dtp.geop, 20.0, 3, 2,
+        two_point=True))
+    xq = xtp = (dens, v, w)
+    E0q = float(dq.tend.energy(*xq, dq.geop)[0][0])
+    for _ in range(20):
+        xq = step_q(*xq)
+        xtp = step_tp(*xtp)
+    for a, b in zip(xq, xtp):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        scale = np.abs(a).max()
+        assert np.abs(a - b).max() < 2e-3 * scale, np.abs(a - b).max() / scale
+    Eq = float(dq.tend.energy(*xq, dq.geop)[0][0])
+    Etp = float(dtp.tend.energy(*xtp, dtp.geop)[0][0])
+    # both conserve well; the two-point form must not be worse than 3x
+    assert abs(Etp - E0q) <= 3.0 * abs(Eq - E0q) + 1e-7 * abs(E0q), \
+        (Etp - E0q, Eq - E0q)
