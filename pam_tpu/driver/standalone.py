@@ -48,7 +48,7 @@ def run_mmf(cfg: dict, verbose: bool = True):
     driver.cpp:221-272."""
     import jax.numpy as jnp
     from .mmf import setup_supercell_mmf
-    from ..io.output import NetCDFWriter
+    from ..io.output import make_writer
 
     zint = build_zint(cfg)
     nz = len(zint) - 1
@@ -68,7 +68,9 @@ def run_mmf(cfg: dict, verbose: bool = True):
     out_freq = cfg.get("out_freq", -1.0)
     writer = None
     if out_freq >= 0:
-        writer = NetCDFWriter(drv.coupler, state, cfg.get("out_prefix", "out"))
+        writer = make_writer(drv.coupler, state,
+                             cfg.get("out_prefix", "out"),
+                             cfg.get("io_backend", "netcdf"))
         writer.write(state, 0.0)
 
     t0 = time.time()

@@ -78,10 +78,16 @@ class AnelasticPressureSolver:
                                        kfix=kfix)
 
     def _tridiag(self, rhs):
-        """Thomas solve batched over (nens, nx) (:3436-3464). rhs complex."""
+        """Tridiagonal solve batched over (nens, nx) (:3436-3464): Thomas
+        scan, or PCR on TPU (si._pcr). rhs complex."""
+        from .si import _pcr, _use_pcr
         L = jnp.moveaxis(jnp.asarray(self.tri_l, rhs.real.dtype), 1, 0)
         D = jnp.moveaxis(jnp.asarray(self.tri_d, rhs.real.dtype), 1, 0)
         U = jnp.moveaxis(jnp.asarray(self.tri_u, rhs.real.dtype), 1, 0)
+        if _use_pcr(rhs):
+            out = _pcr(L.astype(rhs.dtype), D.astype(rhs.dtype),
+                       U.astype(rhs.dtype), jnp.moveaxis(rhs, 1, 0))
+            return jnp.moveaxis(out, 0, 1)
         R = jnp.moveaxis(rhs, 1, 0)
 
         def fwd(carry, x):

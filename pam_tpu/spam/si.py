@@ -40,6 +40,63 @@ def gauss_01(n: int):
     return 0.5 * (x + 1.0), 0.5 * w
 
 
+# ---------------------------------------------------------------------------
+# tridiagonal solvers: sequential Thomas (lax.scan) or parallel cyclic
+# reduction. The reference's per-column Thomas recurrence
+# (extrudedmodel.h:3025-3050) serializes over nz; on TPU the z extent is
+# only ~50 so the scan is LATENCY-bound (~110 us for microseconds of math).
+# PCR does ceil(log2 n) fully-parallel elementwise sweeps instead — more
+# flops, no serialization — and is stable for these diagonally-dominant
+# (I + dt^2 L) systems. PAM_TRIDIAG=thomas|pcr|auto (auto: pcr on
+# TPU-like backends, thomas on CPU).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_TRIDIAG_MODE = _os.environ.get("PAM_TRIDIAG", "auto")
+
+
+def _use_pcr(x):
+    if _TRIDIAG_MODE == "pcr":
+        return True
+    if _TRIDIAG_MODE == "thomas":
+        return False
+    try:
+        return list(x.devices())[0].platform not in ("cpu",)
+    except Exception:
+        return jax.default_backend() not in ("cpu",)
+
+
+def _shift0(a, off, fill=0.0):
+    """a[i + off] along axis 0, filling out-of-range with ``fill``."""
+    n = a.shape[0]
+    if off == 0:
+        return a
+    pad = jnp.full((abs(off),) + a.shape[1:], fill, a.dtype)
+    if off > 0:
+        return jnp.concatenate([a[off:], pad], axis=0)
+    return jnp.concatenate([pad, a[:off]], axis=0)
+
+
+def _pcr(L, D, U, R):
+    """Parallel cyclic reduction of a tridiagonal system along axis 0.
+    L/D/U/R: (n, ...) (L[0] and U[n-1] ignored/zero). Returns x (n, ...)."""
+    n = L.shape[0]
+    k = 1
+    while k < n:
+        Dm = _shift0(D, -k, 1.0)
+        Dp = _shift0(D, k, 1.0)
+        alpha = -L / Dm
+        beta = -U / Dp
+        newD = D + alpha * _shift0(U, -k) + beta * _shift0(L, k)
+        newR = R + alpha * _shift0(R, -k) + beta * _shift0(R, k)
+        newL = alpha * _shift0(L, -k)
+        newU = beta * _shift0(U, k)
+        L, D, U, R = newL, newD, newU, newR
+        k *= 2
+    return R / D
+
+
 def flat_geop(z, g):
     """(models/extrudedmodel.h flat_geop)."""
     return g * z
@@ -428,13 +485,15 @@ class CompressibleVelocityLinearSystem:
 
     # ------------------------------------------------------------------
     def _tridiag(self, rhs, tri_l, tri_d, tri_u):
-        """Complex Thomas solve batched over (nens, nx), scan over nl
-        levels (extrudedmodel.h:3025-3050)."""
+        """Complex tridiagonal solve batched over (nens, nx): Thomas scan
+        over nl levels (extrudedmodel.h:3025-3050) or PCR on TPU."""
         # move level axis front: (nl, nens, nx)
         L = jnp.moveaxis(tri_l, 1, 0)
         D = jnp.moveaxis(tri_d, 1, 0)
         U = jnp.moveaxis(tri_u, 1, 0)
         R = jnp.moveaxis(rhs, 1, 0)
+        if _use_pcr(rhs):
+            return jnp.moveaxis(_pcr(L, D, U, R), 0, 1)
 
         def fwd(carry, x):
             c_prev, y_prev = carry
@@ -697,13 +756,18 @@ def si_fixed_step(tend, dens, v, w, geop, dt, max_iters: int = 5,
 # ---------------------------------------------------------------------------
 
 def _tridiag_real(L, D, U, R):
-    """Thomas solve with real (nens, nz, ...) coefficient stacks on a
-    possibly-complex rhs of the same trailing shape; scan over level axis 1
-    (extrudedmodel.h solve_for_pressure:3806-3830)."""
+    """Tridiagonal solve with real (nens, nz, ...) coefficient stacks on a
+    possibly-complex rhs of the same trailing shape; Thomas scan over level
+    axis 1 (extrudedmodel.h solve_for_pressure:3806-3830) or PCR on TPU."""
     Lm = jnp.moveaxis(L, 1, 0)
     Dm = jnp.moveaxis(D, 1, 0)
     Um = jnp.moveaxis(U, 1, 0)
     Rm = jnp.moveaxis(R, 1, 0)
+    if _use_pcr(R):
+        Lc = Lm.astype(Rm.dtype)
+        Dc = Dm.astype(Rm.dtype)
+        Uc = Um.astype(Rm.dtype)
+        return jnp.moveaxis(_pcr(Lc, Dc, Uc, Rm), 0, 1)
 
     def fwd(carry, x):
         c_prev, y_prev = carry

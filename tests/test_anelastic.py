@@ -11,6 +11,8 @@ from pam_tpu.spam.varset import VariableSet
 from pam_tpu.spam.testcases import RisingBubble, project_n1form
 from pam_tpu.spam import si
 from pam_tpu.spam import operators as op
+import pytest
+
 from pam_tpu.spam.anelastic import (AnelasticPressureSolver,
                                     AnelasticTendencies, project_initial)
 
@@ -113,6 +115,7 @@ def test_anelastic_bubble_rises_beyond_acoustic_cfl():
     assert com1 > com0 + 30.0
 
 
+@pytest.mark.slow
 def test_si_fixed_matches_explicit():
     """SIFixedTimeIntegrator (SI_Fixed.h): the fixed-point SI step on the
     anelastic system agrees with fine-dt explicit SSPRK3."""

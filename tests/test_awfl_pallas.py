@@ -26,6 +26,7 @@ def _setup(dtype, ny=1):
 
 
 @pytest.mark.parametrize("ny", [1, 4])
+@pytest.mark.slow
 def test_pallas_flux_matches_jnp(ny):
     dtype = jnp.float32
     cpl, zint, state = _setup(dtype, ny=ny)
@@ -53,6 +54,7 @@ def test_pallas_flux_matches_jnp(ny):
                                rtol=2e-5, atol=2e-5 * tscale)
 
 
+@pytest.mark.slow
 def test_pallas_full_timestep_runs():
     dtype = jnp.float32
     cpl, zint, state = _setup(dtype)

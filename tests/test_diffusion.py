@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from pam_tpu.spam import ExtrudedGeometry, VariableSet, SpamTendencies
 from pam_tpu.spam import diffusion as diff
 from pam_tpu.spam.thermo import IdealGasPottemp
+import pytest
 
 LX = 2.0
 LZ = 1.0
@@ -106,6 +107,7 @@ def test_velocity_diffusion_converges_to_laplacian():
     assert rate_w > 1.6, f"w diffusion convergence rate {rate_w}"
 
 
+@pytest.mark.slow
 def test_diffusion_dissipates_energy_in_dynamics():
     """Running the rising bubble with diffusion on must not blow up and
     must reduce kinetic energy relative to the inviscid run."""

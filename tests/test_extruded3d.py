@@ -15,6 +15,7 @@ from pam_tpu.spam import (ExtrudedGeometry, IdealGasPottemp, VariableSet,
                           SpamTendencies)
 from pam_tpu.spam import testcases as tcs
 from pam_tpu.spam.extruded3d import Tendencies3D
+import pytest
 
 
 def make_pair(nx=16, nz=12, ny=6, ylen=None):
@@ -46,6 +47,7 @@ def bcast_y(a1, ny, dy):
     return jnp.repeat(a1[..., None, :], ny, axis=-2) * dy
 
 
+@pytest.mark.slow
 def test_y_degenerate_matches_slab():
     tc, geom1, geom3, t1, t3, dens1, v1, w1, geop1 = make_pair()
     ny, dy = geom3.ny, geom3.dy
@@ -73,6 +75,7 @@ def test_y_degenerate_matches_slab():
     np.testing.assert_allclose(np.asarray(Fv3[1]), 0.0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_x_degenerate_matches_slab():
     """x-invariant data with v=(0, vy): the qyz/Wyz/Qyz path must reproduce
     the slab with x->y (the slab's nx plays the 3-D ny role)."""

@@ -125,6 +125,7 @@ def _compare(ref, out, keys=("temp", "uvel", "wvel", "water_vapor",
                                    rtol=1e-11, atol=1e-11, err_msg=k)
 
 
+@pytest.mark.slow
 def test_explicit_crm_step_awfl_matches_unsharded(mmf_awfl):
     drv, state = mmf_awfl
     ref = jax.jit(drv.crm_phys_step)(state)
@@ -146,6 +147,7 @@ def test_explicit_crm_step_spam_si_matches_unsharded(mmf_spam_si):
     _compare(ref, out)
 
 
+@pytest.mark.slow
 def test_explicit_spam_si_multi_step(mmf_spam_si):
     """10 steps sharded == 10 steps unsharded (steady-state comm pattern)."""
     drv, state = mmf_spam_si

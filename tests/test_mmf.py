@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from pam_tpu.driver.mmf import setup_supercell_mmf
 from pam_tpu.driver.supercell_column import supercell_init_column
 from pam_tpu.core.constants import DEFAULT_CONSTANTS
+import pytest
 
 
 def test_supercell_column_physical():
@@ -69,6 +70,7 @@ def test_mmf_forcing_keeps_column_near_gcm():
     assert np.abs(t_mean - t_gcm).max() < 5.0
 
 
+@pytest.mark.slow
 def test_mmf_spam_dycore_short_run():
     """PAM-C MMF path: SPAM MCE_rho dycore with the coupled SI integrator
     (CoupledTestCase reference state from coupler ref_* columns,
@@ -95,6 +97,7 @@ def test_mmf_spam_dycore_short_run():
     assert abs(m1 - m0) / m0 < 1e-2
 
 
+@pytest.mark.slow
 def test_coupled_reference_state_balance():
     """The coupled reference state must be (near-)hydrostatically balanced:
     a broadcast ref column run through the SPAM SI dycore alone stays put
@@ -114,6 +117,7 @@ def test_coupled_reference_state_balance():
     assert float(jnp.max(jnp.abs(s["temp"] - state["temp"]))) < 1.5
 
 
+@pytest.mark.slow
 def test_mmf_stretched_vertical_grid():
     """MMF on a stretched (tanh vcoords) vertical grid, both dycores —
     the reference's vcoords-file path (driver.cpp:135-170). Regression:

@@ -47,6 +47,7 @@ def test_ensemble_sharding_matches_single(setup):
                            rtol=1e-11, atol=1e-11), k
 
 
+@pytest.mark.slow
 def test_spatial_only_sharding_matches_single(setup):
     drv, state = setup
     ref = _run(drv, state)

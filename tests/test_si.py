@@ -80,6 +80,7 @@ def test_si_stable_beyond_acoustic_cfl_and_conserves():
     assert float(jnp.max(jnp.abs(w_))) / dzp < 0.05
 
 
+@pytest.mark.slow
 def test_si_converges_to_explicit():
     """SI solution approaches the explicit SSPRK3 solution as dt -> 0."""
     tc, geom, th, vs, tend, ref, dens, v, w, geop = _setup()
@@ -140,6 +141,7 @@ def test_si_dycore_wrapper():
     assert abs(m1 - m0) / m0 < 1e-12
 
 
+@pytest.mark.slow
 def test_pressure_linear_system_matches_velocity_system():
     """The pressure-based solver (the reference DEFAULT linear_system,
     extrudedmodel.h:5059) drives the same SI iteration as the velocity
@@ -222,6 +224,7 @@ def test_pressure_si_3d_bubble():
     assert wphys.max() < 5.0
 
 
+@pytest.mark.slow
 def test_pressure_gravity_matches_velocity_system():
     """The gravity-aware pressure solver (the stratification-robust
     variant, extrudedmodel.h:3970-4580) converges to the same SI step as
@@ -319,3 +322,32 @@ def test_two_point_discrete_gradient_si():
     # both conserve well; the two-point form must not be worse than 3x
     assert abs(Etp - E0q) <= 3.0 * abs(Eq - E0q) + 1e-7 * abs(E0q), \
         (Etp - E0q, Eq - E0q)
+
+
+def test_pcr_matches_thomas():
+    """Parallel cyclic reduction (TPU tridiag path) == Thomas scan to
+    roundoff on random diagonally-dominant complex systems."""
+    from pam_tpu.spam.si import _pcr, _tridiag_real
+    rng = np.random.RandomState(7)
+    n, b1, b2 = 49, 4, 9
+    L = rng.randn(b1, n, b2)
+    U = rng.randn(b1, n, b2)
+    L[:, 0] = 0.0
+    U[:, -1] = 0.0
+    D = 4.0 + np.abs(L) + np.abs(U) + rng.rand(b1, n, b2)
+    R = rng.randn(b1, n, b2) + 1j * rng.randn(b1, n, b2)
+    x_thomas = np.asarray(_tridiag_real(jnp.asarray(L), jnp.asarray(D),
+                                        jnp.asarray(U), jnp.asarray(R)))
+    x_pcr = np.asarray(jnp.moveaxis(_pcr(
+        jnp.moveaxis(jnp.asarray(L, complex), 1, 0),
+        jnp.moveaxis(jnp.asarray(D, complex), 1, 0),
+        jnp.moveaxis(jnp.asarray(U, complex), 1, 0),
+        jnp.moveaxis(jnp.asarray(R), 1, 0)), 0, 1))
+    np.testing.assert_allclose(x_pcr, x_thomas, rtol=1e-10, atol=1e-12)
+    # residual check
+    for i in range(b1):
+        for j in range(b2):
+            A = np.diag(D[i, :, j]) + np.diag(L[i, 1:, j], -1) + \
+                np.diag(U[i, :-1, j], 1)
+            r = A @ x_pcr[i, :, j] - R[i, :, j]
+            assert np.abs(r).max() < 1e-10

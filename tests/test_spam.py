@@ -153,6 +153,7 @@ def test_spam_coupled_dycore_roundtrip_and_step():
     assert float(jnp.max(jnp.abs(out["wvel"]))) < 5.0
 
 
+@pytest.mark.slow
 def test_alternative_time_integrators_agree():
     """ssprk2/34, kgrk4, lsrk5 all advance the bubble consistently with
     ssprk3 at small dt (timesteppers/{SSPRK,KGRK,LSRK}.h)."""

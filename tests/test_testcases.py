@@ -197,6 +197,7 @@ def test_unimplemented_thermo_stubs():
             th.compute_U(1.0, 300.0)
 
 
+@pytest.mark.slow
 def test_cfv_and_tanh_numerics_options():
     """RECONSTRUCTION_TYPE::CFV and UPWIND_TYPE::TANH (common.h:72-111,
     recon.h:326-424): stable, and near the WENOFUNC/HEAVISIDE defaults on a
@@ -226,6 +227,7 @@ def test_standalone_driver_3d_bubble():
     assert np.isfinite(np.asarray(dens)).all()
 
 
+@pytest.mark.slow
 def test_standalone_driver_3d_supercell_si():
     from pam_tpu.driver.standalone import run_idealized
     cfg = dict(idealized=True, init_data="supercell", crm_nx=10, crm_ny=8,
