@@ -713,7 +713,14 @@ def si_step(tend, linsys, dens, v, w, geop, dt, max_iters: int = 3,
     pts = jnp.asarray(pts, v.dtype)
     wts = jnp.asarray(wts, v.dtype)
 
-    for _ in range(max_iters):
+    # NOTE: the quasi-Newton iterations stay UNROLLED. A lax.scan over the
+    # iteration body compiles ~40% faster (one body copy) but runs ~33%
+    # slower on TPU v5e (measured 102.6 -> 69.1M pts/s on the bench config)
+    # — the scan boundary blocks cross-iteration fusion/layout choices.
+    # The final iteration is solve-only: its discrete-gradient/symplectic
+    # evaluation is dead (the reference computes-and-discards it,
+    # SI_Newton.h:91-93; XLA DCE removes it here).
+    for _ in range(max_iters - 1):
         sol = linsys.solve(*res)
         xn = tuple(a + b for a, b in zip(xn, sol))
         if two_point:
@@ -726,7 +733,8 @@ def si_step(tend, linsys, dens, v, w, geop, dt, max_iters: int = 3,
         dxd, dxv, dxw = _apply_symplectic_full(tend, xm, Fa, FWa, Ba, dt)
         res = (dens - xn[0] - dt * dxd, v - xn[1] - dt * dxv,
                w - xn[2] - dt * dxw)
-    return xn
+    sol = linsys.solve(*res)
+    return tuple(a + b for a, b in zip(xn, sol))
 
 
 def si_fixed_step(tend, dens, v, w, geop, dt, max_iters: int = 5,
