@@ -144,3 +144,27 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     out = ckpt.load_checkpoint_orbax(path, state)
     for k in state:
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(state[k]))
+
+
+def test_convert_output_h5_to_nc(tmp_path):
+    """HDF5 -> NetCDF-3 converter (parity analog of
+    utils/convert_to_netcdf4.py)."""
+    import jax.numpy as jnp
+    from scipy.io import netcdf_file
+    from pam_tpu.core.coupler import Coupler
+    from pam_tpu.io.output import make_writer
+    from pam_tpu.utils import convert_output
+    cpl = Coupler(nz=3, ny=1, nx=4, nens=2, xlen=4000.0, ylen=1000.0,
+                  dtype=jnp.float64)
+    cpl = cpl.add_tracer("water_vapor")
+    state = dict(cpl.allocate_state(np.linspace(0, 3000.0, 4)))
+    state["temp"] = state["temp"] + 273.0
+    w = make_writer(cpl, state, str(tmp_path / "o"), backend="hdf5")
+    w.write(state, 0.0)
+    w.write(state, 10.0)
+    w.close()
+    convert_output.h5_to_nc(str(tmp_path / "o.h5"), str(tmp_path / "o.nc"))
+    f = netcdf_file(str(tmp_path / "o.nc"), "r")
+    assert f.variables["temp"].shape == (2, 2, 3, 1, 4)
+    np.testing.assert_allclose(np.asarray(f.variables["temp"][0]), 273.0)
+    f.close()
