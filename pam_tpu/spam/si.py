@@ -737,6 +737,47 @@ def si_step(tend, linsys, dens, v, w, geop, dt, max_iters: int = 3,
     return tuple(a + b for a, b in zip(xn, sol))
 
 
+def _res_norm(res):
+    """max-abs norm over all prognostic fields (the reference's
+    residual norm, time_integrator.h norm:9-17)."""
+    return jnp.maximum(jnp.maximum(jnp.max(jnp.abs(res[0])),
+                                   jnp.max(jnp.abs(res[1]))),
+                       jnp.max(jnp.abs(res[2])))
+
+
+def si_step_monitored(tend, linsys, dens, v, w, geop, dt,
+                      max_iters: int = 3, nquad: int = 2,
+                      two_point: bool = False):
+    """si_step that also returns the per-iteration residual norms — the
+    reference's si_monitor_convergence>0 diagnostic (SI_Newton.h:52-106:
+    initial residual + norm after each Newton iteration). Returns
+    (xn, norms) with norms[0] = initial residual norm and norms[i] the
+    norm after iteration i (max_iters entries total; the convergence
+    ratio is norms[i]/norms[0], compared against si_tolerance)."""
+    pts, wts = gauss_01(nquad)
+    dxd, dxv, dxw = tend.compute_rhs(dens, v, w, geop, dt)
+    xn = (dens, v, w)
+    res = (-dt * dxd, -dt * dxv, -dt * dxw)
+    norms = [_res_norm(res)]
+    pts = jnp.asarray(pts, v.dtype)
+    wts = jnp.asarray(wts, v.dtype)
+    for _ in range(max_iters):
+        sol = linsys.solve(*res)
+        xn = tuple(a + b for a, b in zip(xn, sol))
+        if two_point:
+            Fa, FWa, Ba = two_point_discrete_gradient(tend, (dens, v, w),
+                                                      xn, geop)
+        else:
+            Fa, FWa, Ba = _discrete_gradient(tend, (dens, v, w), xn, geop,
+                                             pts, wts)
+        xm = tuple(0.5 * (a + b) for a, b in zip((dens, v, w), xn))
+        dxd, dxv, dxw = _apply_symplectic_full(tend, xm, Fa, FWa, Ba, dt)
+        res = (dens - xn[0] - dt * dxd, v - xn[1] - dt * dxv,
+               w - xn[2] - dt * dxw)
+        norms.append(_res_norm(res))
+    return xn, jnp.stack(norms)
+
+
 def si_fixed_step(tend, dens, v, w, geop, dt, max_iters: int = 5,
                   nquad: int = 2):
     """One fixed-point semi-implicit step (SIFixedTimeIntegrator,
