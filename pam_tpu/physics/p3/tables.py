@@ -146,69 +146,62 @@ def indices_3(mu_r, lamr):
     return dumii - 1, dumjj - 1, rdumii - 1, rdumjj - 1
 
 
+# ---------------------------------------------------------------------------
+# TPU-native table interpolation: hat-weight contractions instead of gathers.
+#
+# The reference interpolates per-thread with scalar loads
+# (access_lookup_table, micro_p3.F90:1508-1615). A direct port uses
+# advanced indexing = multi-dimensional gathers of ~4e5 points from tiny
+# tables, which dominate the whole P3 step on TPU (measured ~half of
+# 730 ms). Since every fractional index x satisfies floor-index <= x <=
+# floor-index+1 (the indices_* functions clip them that way), linear
+# interpolation along an axis of length n is EXACTLY a contraction with
+# the dense hat weights w[k] = max(0, 1 - |k - x|) — so the whole
+# multilinear interpolation becomes one or two small matmuls on the MXU
+# plus trivial contractions over the 4/5-entry axes. Algebraically
+# identical to the nested-lerp form (same two nonzero weights per axis).
+# ---------------------------------------------------------------------------
+
+def _hat(n, x):
+    """(..., n) dense linear-interp weights for fractional position x."""
+    k = jnp.arange(n, dtype=x.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(k - x[..., None]))
+
+
 def access_ice_table(tab, dumjj, dumii, dumi, index, dum1, dum4, dum5):
     """Trilinear interpolation in (density, rime fraction, size)
-    (access_lookup_table, micro_p3.F90:1508-1545). ``index`` is zero-based."""
-    t = tab[..., index]
-
-    def g(jj, ii, i):
-        return t[jj, ii, i]
-
-    f1 = dum1 - dumi
-    ip0 = g(dumjj, dumii, dumi) + f1 * (g(dumjj, dumii, dumi + 1) -
-                                        g(dumjj, dumii, dumi))
-    gp0 = g(dumjj, dumii + 1, dumi) + f1 * (g(dumjj, dumii + 1, dumi + 1) -
-                                            g(dumjj, dumii + 1, dumi))
-    tmp1 = ip0 + (dum4 - dumii) * (gp0 - ip0)
-    ip1 = g(dumjj + 1, dumii, dumi) + f1 * (g(dumjj + 1, dumii, dumi + 1) -
-                                            g(dumjj + 1, dumii, dumi))
-    gp1 = g(dumjj + 1, dumii + 1, dumi) + f1 * (
-        g(dumjj + 1, dumii + 1, dumi + 1) - g(dumjj + 1, dumii + 1, dumi))
-    tmp2 = ip1 + (dum4 - dumii) * (gp1 - ip1)
-    return tmp1 + (dum5 - dumjj) * (tmp2 - tmp1)
+    (access_lookup_table, micro_p3.F90:1508-1545). ``index`` is zero-based
+    and static; dumjj/dumii/dumi are accepted for signature parity (the
+    hat weights encode them via the fractional positions)."""
+    t = jnp.asarray(tab[..., index], dum1.dtype)   # (DENSIZE, RIMSIZE, ISIZE)
+    wi = _hat(t.shape[2], dum1)
+    wii = _hat(t.shape[1], dum4)
+    wjj = _hat(t.shape[0], dum5)
+    T1 = jnp.einsum('...i,jki->...jk', wi, t)      # MXU: (P,ISIZE)x(ISIZE,20)
+    T2 = jnp.einsum('...k,...jk->...j', wii, T1)
+    return jnp.einsum('...j,...j->...', wjj, T2)
 
 
 def access_collect_table(tab, dumjj, dumii, dumj, dumi, index, dum1, dum3,
                          dum4, dum5):
     """Quadrilinear interpolation incl. the rain-size axis
-    (access_lookup_table_coll, :1548-1615)."""
-    t = tab[..., index]
-
-    def g(jj, ii, i, j):
-        return t[jj, ii, i, j]
-
-    f1 = dum1 - dumi
-    f3 = dum3 - dumj
-
-    def interp_jj(jj):
-        d1 = g(jj, dumii, dumi, dumj) + f1 * (g(jj, dumii, dumi + 1, dumj) -
-                                              g(jj, dumii, dumi, dumj))
-        d2 = g(jj, dumii, dumi, dumj + 1) + f1 * (
-            g(jj, dumii, dumi + 1, dumj + 1) - g(jj, dumii, dumi, dumj + 1))
-        ip = d1 + f3 * (d2 - d1)
-        d1 = g(jj, dumii + 1, dumi, dumj) + f1 * (
-            g(jj, dumii + 1, dumi + 1, dumj) - g(jj, dumii + 1, dumi, dumj))
-        d2 = g(jj, dumii + 1, dumi, dumj + 1) + f1 * (
-            g(jj, dumii + 1, dumi + 1, dumj + 1) -
-            g(jj, dumii + 1, dumi, dumj + 1))
-        gp = d1 + f3 * (d2 - d1)
-        return ip + (dum4 - dumii) * (gp - ip)
-
-    tmp1 = interp_jj(dumjj)
-    tmp2 = interp_jj(dumjj + 1)
-    return tmp1 + (dum5 - dumjj) * (tmp2 - tmp1)
+    (access_lookup_table_coll, :1548-1615), as hat-weight contractions."""
+    t = jnp.asarray(tab[..., index], dum1.dtype)   # (5, 4, ISIZE, RCOLLSIZE)
+    wi = _hat(t.shape[2], dum1)
+    wj = _hat(t.shape[3], dum3)
+    wii = _hat(t.shape[1], dum4)
+    wjj = _hat(t.shape[0], dum5)
+    # contract the two large axes on the MXU in one step
+    T1 = jnp.einsum('...i,...j,abij->...ab', wi, wj, t)
+    T2 = jnp.einsum('...b,...ab->...a', wii, T1)
+    return jnp.einsum('...a,...a->...', wjj, T2)
 
 
 def access_rain_table(tab, dumii, dumjj, rdumii, rdumjj):
     """Bilinear interpolation in the rain (size, mu) tables
-    (compute_rain_fall_velocity, :3893-3907)."""
-    t = tab
-
-    def g(ii, jj):
-        return t[ii, jj]
-
-    f = rdumii - dumii
-    d1 = g(dumii, dumjj) + f * (g(dumii + 1, dumjj) - g(dumii, dumjj))
-    d2 = g(dumii, dumjj + 1) + f * (g(dumii + 1, dumjj + 1) -
-                                    g(dumii, dumjj + 1))
-    return d1 + (rdumjj - dumjj) * (d2 - d1)
+    (compute_rain_fall_velocity, :3893-3907), as hat-weight contractions."""
+    t = jnp.asarray(tab, rdumii.dtype)             # (300, 10)
+    wi = _hat(t.shape[0], rdumii)
+    wj = _hat(t.shape[1], rdumjj)
+    T1 = jnp.einsum('...i,ij->...j', wi, t)        # MXU: (P,300)x(300,10)
+    return jnp.einsum('...j,...j->...', wj, T1)
