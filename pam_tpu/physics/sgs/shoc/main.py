@@ -20,6 +20,7 @@ import numpy as np
 
 from .constants import CONST
 from ...p3.main import murphy_koop_svp
+from ....ops import tridiag
 
 C = CONST
 
@@ -63,6 +64,65 @@ def compute_shoc_vapor(qw, ql):
 
 
 # -------------------------------------------------- implicit diffusion solve
+def _solve_shared(du, dl, d0, rhs_list, tracers=None):
+    """Solve every system that shares one (du, dl, d0) matrix in a SINGLE
+    batched tridiagonal solve (the reference factorizes once and back-solves
+    per field, shoc.F90:3504-3643; here the fields are stacked into one
+    trailing dim so the TPU PCR path does ceil(log2 nlev) sweeps total
+    instead of 3 sequential scans per field).
+
+    rhs_list: list of (ncol, nlev); tracers: (ncol, nlev, ntr) or None.
+    Returns the solved rhs_list (+ tracers appended when given)."""
+    cols = [r[..., None] for r in rhs_list]
+    if tracers is not None:
+        cols.append(tracers)
+    R = jnp.moveaxis(jnp.concatenate(cols, axis=-1), -2, 0)  # (nlev, ncol, m)
+    L = jnp.moveaxis(dl, -1, 0)[..., None]
+    D = jnp.moveaxis(d0, -1, 0)[..., None]
+    U = jnp.moveaxis(du, -1, 0)[..., None]
+    if tridiag.use_pcr(R):
+        X = tridiag.pcr(L, D, U, R)
+    else:
+        X = _thomas_batched(L, D, U, R)
+    X = jnp.moveaxis(X, 0, -2)                               # (ncol, nlev, m)
+    out = [X[..., i] for i in range(len(rhs_list))]
+    if tracers is not None:
+        out.append(X[..., len(rhs_list):])
+    return out
+
+
+def _thomas_batched(L, D, U, R):
+    """Thomas along axis 0 for stacked rhs. L/D/U: (nlev, ncol, 1),
+    R: (nlev, ncol, m). Identical recurrences to ``_thomas``."""
+    def fwd(carry, x):
+        dk, lk, ukm1 = x
+        lkc = lk / carry
+        ck = dk - lkc * ukm1
+        return ck, (ck, lkc)
+
+    U_prev = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], axis=0)
+    c0 = D[0]
+    _, (cs, ls) = jax.lax.scan(fwd, c0, (D[1:], L[1:], U_prev[1:]))
+    c = jnp.concatenate([c0[None], cs], axis=0)
+    l = jnp.concatenate([jnp.zeros_like(c0)[None], ls], axis=0)
+
+    def fsub(y_prev, x):
+        rk, lk = x
+        yk = rk - lk * y_prev
+        return yk, yk
+
+    _, ys = jax.lax.scan(fsub, jnp.zeros_like(R[0]), (R, l))
+
+    def bsub(x_next, x):
+        yk, uk, ck = x
+        xk = (yk - uk * x_next) / ck
+        return xk, xk
+
+    _, out_rev = jax.lax.scan(bsub, jnp.zeros_like(R[0]),
+                              (ys[::-1], U[::-1], c[::-1]))
+    return out_rev[::-1]
+
+
 def _thomas(du, dl, d0, rhs):
     """Factorize + solve the implicit diffusion tridiagonal system
     (vd_shoc_decomp/vd_shoc_solve, shoc.F90:3504-3643) via lax.scan."""
@@ -155,17 +215,14 @@ def update_prognostics_implicit(dtime, dz_zt, dz_zi, rho_zt, zt_grid,
                                              wtracer_sfc)
 
     du, dl, d0 = vd_shoc_matrix(tk_zi, tmpi, rdp_zt, dtime, ksrf)
-    u_wind = _thomas(du, dl, d0, u_wind)
-    v_wind = _thomas(du, dl, d0, v_wind)
+    u_wind, v_wind = _solve_shared(du, dl, d0, [u_wind, v_wind])
     du, dl, d0 = vd_shoc_matrix(tkh_zi, tmpi, rdp_zt, dtime,
                                 jnp.zeros_like(ksrf))
-    thetal = _thomas(du, dl, d0, thetal)
-    qw = _thomas(du, dl, d0, qw)
-    tke = _thomas(du, dl, d0, tke)
-    if tracers is not None:
-        solve = jax.vmap(lambda t: _thomas(du, dl, d0, t), in_axes=-1,
-                         out_axes=-1)
-        tracers = solve(tracers)
+    if tracers is None:
+        thetal, qw, tke = _solve_shared(du, dl, d0, [thetal, qw, tke])
+    else:
+        thetal, qw, tke, tracers = _solve_shared(du, dl, d0,
+                                                 [thetal, qw, tke], tracers)
     return thetal, qw, tracers, tke, u_wind, v_wind
 
 

@@ -42,59 +42,11 @@ def gauss_01(n: int):
 
 # ---------------------------------------------------------------------------
 # tridiagonal solvers: sequential Thomas (lax.scan) or parallel cyclic
-# reduction. The reference's per-column Thomas recurrence
-# (extrudedmodel.h:3025-3050) serializes over nz; on TPU the z extent is
-# only ~50 so the scan is LATENCY-bound (~110 us for microseconds of math).
-# PCR does ceil(log2 n) fully-parallel elementwise sweeps instead — more
-# flops, no serialization — and is stable for these diagonally-dominant
-# (I + dt^2 L) systems. PAM_TRIDIAG=thomas|pcr|auto (auto: pcr on
-# TPU-like backends, thomas on CPU).
+# reduction — shared implementation in ops/tridiag.py (also used by SHOC's
+# implicit diffusion solve). Local aliases kept for existing callers/tests.
 # ---------------------------------------------------------------------------
 
-import os as _os
-
-_TRIDIAG_MODE = _os.environ.get("PAM_TRIDIAG", "auto")
-
-
-def _use_pcr(x):
-    if _TRIDIAG_MODE == "pcr":
-        return True
-    if _TRIDIAG_MODE == "thomas":
-        return False
-    try:
-        return list(x.devices())[0].platform not in ("cpu",)
-    except Exception:
-        return jax.default_backend() not in ("cpu",)
-
-
-def _shift0(a, off, fill=0.0):
-    """a[i + off] along axis 0, filling out-of-range with ``fill``."""
-    n = a.shape[0]
-    if off == 0:
-        return a
-    pad = jnp.full((abs(off),) + a.shape[1:], fill, a.dtype)
-    if off > 0:
-        return jnp.concatenate([a[off:], pad], axis=0)
-    return jnp.concatenate([pad, a[:off]], axis=0)
-
-
-def _pcr(L, D, U, R):
-    """Parallel cyclic reduction of a tridiagonal system along axis 0.
-    L/D/U/R: (n, ...) (L[0] and U[n-1] ignored/zero). Returns x (n, ...)."""
-    n = L.shape[0]
-    k = 1
-    while k < n:
-        Dm = _shift0(D, -k, 1.0)
-        Dp = _shift0(D, k, 1.0)
-        alpha = -L / Dm
-        beta = -U / Dp
-        newD = D + alpha * _shift0(U, -k) + beta * _shift0(L, k)
-        newR = R + alpha * _shift0(R, -k) + beta * _shift0(R, k)
-        newL = alpha * _shift0(L, -k)
-        newU = beta * _shift0(U, k)
-        L, D, U, R = newL, newD, newU, newR
-        k *= 2
-    return R / D
+from ..ops.tridiag import use_pcr as _use_pcr, shift0 as _shift0, pcr as _pcr  # noqa: E402,F401
 
 
 def flat_geop(z, g):

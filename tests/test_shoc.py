@@ -57,6 +57,34 @@ def test_thomas_solves_tridiagonal():
     assert np.allclose(np.asarray(x), np.asarray(x_true), atol=1e-12)
 
 
+def test_solve_shared_matches_per_field_thomas():
+    """The stacked solve (Thomas and PCR paths) must reproduce the
+    per-field Thomas used by the Fortran oracle runs."""
+    from pam_tpu.physics.sgs.shoc.main import _solve_shared
+    import pam_tpu.ops.tridiag as tri
+    rng = np.random.default_rng(1)
+    ncol, n, ntr = 5, 50, 3
+    du = jnp.asarray(-0.2 * rng.random((ncol, n))).at[:, -1].set(0.0)
+    dl = jnp.asarray(-0.2 * rng.random((ncol, n))).at[:, 0].set(0.0)
+    d0 = 1.0 - du - dl
+    rhs = [jnp.asarray(rng.standard_normal((ncol, n))) for _ in range(3)]
+    tr = jnp.asarray(rng.standard_normal((ncol, n, ntr)))
+    ref = [_thomas(du, dl, d0, r) for r in rhs]
+    ref_tr = jax.vmap(lambda t: _thomas(du, dl, d0, t), in_axes=-1,
+                      out_axes=-1)(tr)
+    for mode in ("thomas", "pcr"):
+        old = tri._TRIDIAG_MODE
+        tri._TRIDIAG_MODE = mode
+        try:
+            out = _solve_shared(du, dl, d0, rhs, tr)
+        finally:
+            tri._TRIDIAG_MODE = old
+        tol = 1e-12 if mode == "thomas" else 1e-7
+        for a, b in zip(ref, out[:3]):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=tol)
+        assert np.allclose(np.asarray(ref_tr), np.asarray(out[3]), atol=tol)
+
+
 def test_implicit_diffusion_conserves_and_smooths():
     """Diffusion with zero surface flux conserves column integrals
     (rho-weighted) and reduces gradients."""
