@@ -813,15 +813,12 @@ def p3_main(qc, nc, qr, nr, qv, th, qi, qm, ni, bm, pres, dz, nc_nuceat_tend,
                                ni_activated, inv_qc_relvar, qv_prev, t_prev,
                                st, ccn_mode)
     rho, inv_rho = st["rho"], st["inv_rho"]
-    qc2, nc2, prt_liq_c = sed.cloud_sedimentation(
-        st["qc"], st["nc"], rho, inv_rho, cld_frac_l, st["acn"], inv_dz, dt,
+    (qc2, nc2, prt_liq_c, qr2, nr2, prt_liq_r, qi2, ni2, qm2, bm2,
+     prt_ice) = sed.combined_sedimentation(
+        st["qc"], st["nc"], st["qr"], st["nr"], st["qi"], st["ni"],
+        st["qm"], st["bm"], rho, inv_rho, cld_frac_l, cld_frac_r,
+        cld_frac_i, st["acn"], st["rhofacr"], st["rhofaci"], inv_dz, dt,
         do_predict_nc=(ccn_mode != "const"))
-    qr2, nr2, prt_liq_r = sed.rain_sedimentation(
-        st["qr"], st["nr"], rho, inv_rho, st["rhofacr"], cld_frac_r, inv_dz,
-        dt)
-    qi2, ni2, qm2, bm2, prt_ice = sed.ice_sedimentation(
-        st["qi"], st["ni"], st["qm"], st["bm"], rho, inv_rho, st["rhofaci"],
-        cld_frac_i, inv_dz, dt)
     t_now = st["th"] * exner
     qc2, nc2, qr2, nr2, qi2, ni2, qm2, bm2, th2 = homogeneous_freezing(
         t_now, inv_exner, qc2, nc2, qr2, nr2, qi2, ni2, qm2, bm2, st["th"])

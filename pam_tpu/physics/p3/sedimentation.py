@@ -174,3 +174,116 @@ def ice_sedimentation(qi, ni, qm, bm, rho, inv_rho, rhofaci, cld_frac_i,
                              body, init)
     return (out["qi"], out["ni"], out["qm"], out["bm"],
             out["prt"] * C.inv_rho_h2o / dt)
+
+
+def combined_sedimentation(qc, nc, qr, nr, qi, ni, qm, bm, rho, inv_rho,
+                           cld_frac_l, cld_frac_r, cld_frac_i, acn, rhofacr,
+                           rhofaci, inv_dz, dt, do_predict_nc=False):
+    """All three species' adaptive substep loops fused into ONE
+    ``lax.while_loop``.
+
+    Each species keeps its own per-column ``dt_left`` and substep length, so
+    the updates are bit-identical to running cloud_/rain_/ice_sedimentation
+    separately (a finished species takes zero-length substeps, which are
+    exact no-ops). On TPU this replaces 3 sequential data-dependent loops
+    (3 loop-condition syncs per substep round) with one loop whose body XLA
+    fuses across species — the substep counts are Courant-driven and nearly
+    always 1-2 for all species at CRM dt.
+
+    Returns (qc, nc, prt_liq_c, qr, nr, prt_liq_r, qi, ni, qm, bm, prt_ice).
+    """
+    vn_t, vm_t, _ = (jnp.asarray(a) for a in tbl.build_rain_tables())
+    ice_tab = jnp.asarray(tbl.load_ice_tables()[0])
+
+    def cloud_body(c):
+        qc_in = c["qc"] / cld_frac_l
+        nc_in = c["nc"] / cld_frac_l
+        has = qc_in > QSMALL
+        nc_in2, mu_c, lamc, _, _ = cloud_dsd(qc_in, nc_in, rho)
+        nc_new = jnp.where(has, nc_in2 * cld_frac_l, c["nc"])
+        dum = 1.0 / jnp.maximum(lamc, 1e-300) ** C.bcn
+        v_qc = jnp.where(has, acn * _gamma(4.0 + C.bcn + mu_c) * dum /
+                         _gamma(mu_c + 4.0), 0.0)
+        v_nc = jnp.where(has, acn * _gamma(1.0 + C.bcn + mu_c) * dum /
+                         _gamma(mu_c + 1.0), 0.0)
+        co_max = jnp.max(v_qc * c["dtl_c"][:, None] * inv_dz, axis=1)
+        dts = _dt_sub(co_max, c["dtl_c"])
+        if do_predict_nc:
+            (qc2, nc2), flux_q = _upwind([c["qc"], nc_new], [v_qc, v_nc],
+                                         rho, inv_rho, inv_dz, dts)
+        else:
+            (qc2,), flux_q = _upwind([c["qc"]], [v_qc], rho, inv_rho,
+                                     inv_dz, dts)
+            nc2 = nc_new
+        return dict(qc=qc2, nc=nc2, dtl_c=c["dtl_c"] - dts,
+                    prt_c=c["prt_c"] + flux_q[:, -1] * dts)
+
+    def rain_body(c):
+        qr_in = c["qr"] / cld_frac_r
+        nr_in = c["nr"] / cld_frac_r
+        has = qr_in > QSMALL
+        nr_in2, mu_r, lamr, _, _ = rain_dsd(qr_in, nr_in)
+        nr_new = jnp.where(has, nr_in2 * cld_frac_r, c["nr"])
+        ii, jj, rii, rjj = tbl.indices_3(mu_r, jnp.maximum(lamr, 1e-300))
+        v_qr = jnp.where(has, tbl.access_rain_table(vm_t, ii, jj, rii, rjj) *
+                         rhofacr, 0.0)
+        v_nr = jnp.where(has, tbl.access_rain_table(vn_t, ii, jj, rii, rjj) *
+                         rhofacr, 0.0)
+        co_max = jnp.max(v_qr * c["dtl_r"][:, None] * inv_dz, axis=1)
+        dts = _dt_sub(co_max, c["dtl_r"])
+        (qr2, nr2), flux_q = _upwind([c["qr"], nr_new], [v_qr, v_nr], rho,
+                                     inv_rho, inv_dz, dts)
+        return dict(qr=qr2, nr=nr2, dtl_r=c["dtl_r"] - dts,
+                    prt_r=c["prt_r"] + flux_q[:, -1] * dts)
+
+    def ice_body(c):
+        qi_in = c["qi"] / cld_frac_i
+        ni_in = c["ni"] / cld_frac_i
+        qm_in = c["qm"] / cld_frac_i
+        bm_in = c["bm"] / cld_frac_i
+        has = qi_in > QSMALL
+        ni_in = jnp.maximum(ni_in, NSMALL)
+        qm_in2, bm_in2, rhop = bulk_rho_rime(qi_in, qm_in, bm_in)
+        qm_new = jnp.where(has, qm_in2 * cld_frac_i, c["qm"])
+        bm_new = jnp.where(has, bm_in2 * cld_frac_i, c["bm"])
+        di, djj, dii, d1, d4, d5 = tbl.indices_1a(
+            jnp.maximum(qi_in, 1e-300), ni_in, qm_in2, rhop)
+        get = lambda idx: tbl.access_ice_table(ice_tab, djj, dii, di, idx,
+                                               d1, d4, d5)
+        v_n = get(0)
+        v_q = get(1)
+        lammax, lammin = get(6), get(7)
+        ni_in = jnp.where(has, jnp.clip(ni_in, lammin * ni_in,
+                                        jnp.maximum(lammax * ni_in,
+                                                    lammin * ni_in)), ni_in)
+        ni_new = jnp.where(has, ni_in * cld_frac_i, c["ni"])
+        v_qit = jnp.where(has, v_q * rhofaci, 0.0)
+        v_nit = jnp.where(has, v_n * rhofaci, 0.0)
+        co_max = jnp.max(v_qit * c["dtl_i"][:, None] * inv_dz, axis=1)
+        dts = _dt_sub(co_max, c["dtl_i"])
+        (qi2, ni2, qm2, bm2), flux_q = _upwind(
+            [c["qi"], ni_new, qm_new, bm_new],
+            [v_qit, v_nit, v_qit, v_qit], rho, inv_rho, inv_dz, dts)
+        return dict(qi=qi2, ni=ni2, qm=qm2, bm=bm2,
+                    dtl_i=c["dtl_i"] - dts,
+                    prt_i=c["prt_i"] + flux_q[:, -1] * dts)
+
+    def body(c):
+        out = dict(c)
+        out.update(cloud_body(c))
+        out.update(rain_body(c))
+        out.update(ice_body(c))
+        return out
+
+    full = jnp.full(qc.shape[:1], dt, dtype=qc.dtype)
+    zero = jnp.zeros(qc.shape[:1], dtype=qc.dtype)
+    init = dict(qc=qc, nc=nc, qr=qr, nr=nr, qi=qi, ni=ni, qm=qm, bm=bm,
+                dtl_c=full, dtl_r=full, dtl_i=full,
+                prt_c=zero, prt_r=zero, prt_i=zero)
+    out = jax.lax.while_loop(
+        lambda c: jnp.any(jnp.maximum(jnp.maximum(c["dtl_c"], c["dtl_r"]),
+                                      c["dtl_i"]) > 1.0e-4), body, init)
+    s = C.inv_rho_h2o / dt
+    return (out["qc"], out["nc"], out["prt_c"] * s,
+            out["qr"], out["nr"], out["prt_r"] * s,
+            out["qi"], out["ni"], out["qm"], out["bm"], out["prt_i"] * s)

@@ -200,3 +200,31 @@ def test_p3_wrapper_roundtrip():
     assert drift < 5e-4
     # temperature responded to condensation in member 0
     assert float(s["temp"][0].max()) > float(state["temp"][0].max()) - 1.0
+
+
+def test_combined_sedimentation_matches_separate():
+    """The fused single-while_loop sedimentation must reproduce the three
+    per-species adaptive loops (zero-length substeps are exact no-ops)."""
+    from pam_tpu.physics.p3 import sedimentation as sed
+    rng = np.random.default_rng(2)
+    ncol, nz = 16, 40
+    f = lambda s=1.0: jnp.asarray(s * rng.random((ncol, nz)))
+    qc, nc, qr, nr = f(1e-3), f(1e8), f(2e-3), f(1e6)
+    qi, ni, qm, bm = f(1e-3), f(1e5), f(5e-4), f(1e-6)
+    rho = 1.2 + f(0.2)
+    inv_rho = 1.0 / rho
+    ones = jnp.ones((ncol, nz))
+    acn, rhofacr, rhofaci = f(1e-2), 1.0 + f(0.3), 1.0 + f(0.3)
+    inv_dz = 1.0 / (200.0 + f(300.0))
+    dt = 20.0
+    a = sed.cloud_sedimentation(qc, nc, rho, inv_rho, ones, acn, inv_dz,
+                                dt, do_predict_nc=True)
+    b = sed.rain_sedimentation(qr, nr, rho, inv_rho, rhofacr, ones,
+                               inv_dz, dt)
+    c = sed.ice_sedimentation(qi, ni, qm, bm, rho, inv_rho, rhofaci, ones,
+                              inv_dz, dt)
+    comb = sed.combined_sedimentation(
+        qc, nc, qr, nr, qi, ni, qm, bm, rho, inv_rho, ones, ones, ones,
+        acn, rhofacr, rhofaci, inv_dz, dt, do_predict_nc=True)
+    for x, y in zip(list(a) + list(b) + list(c), comb):
+        assert np.allclose(np.asarray(x), np.asarray(y), rtol=1e-10)
