@@ -4,8 +4,9 @@ Full port of physics/sgs/shoc/fortran/shoc.F90 (Bogenschutz & Krueger 2013):
 TKE prognosis, assumed double-Gaussian PDF cloud closure, second/third
 moment diagnostics, implicit vertical diffusion, PBL height diagnosis, and
 the energy fixer. Per-level loops become whole-array masked ops; the
-tridiagonal implicit solve runs as ``lax.scan`` over levels; the PBL
-Richardson search becomes an argmax over the scan window.
+tridiagonal implicit solve batches every same-matrix system into one
+solve — PCR sweeps on TPU, ``lax.scan`` Thomas on CPU (ops/tridiag.py);
+the PBL Richardson search becomes an argmax over the scan window.
 
 Array convention: (ncol, nlev) with k=0 = model TOP (E3SM orientation;
 ``thetal[:, -1]`` is the surface level). Interface arrays are
