@@ -8,9 +8,17 @@ generalized_sedimentation (:4067-4104), calc_first_order_upwind_step
 TPU-native design: the reference's per-column ``do while (dt_left>1e-4)``
 with a data-dependent substep count becomes one ``lax.while_loop`` over a
 whole batch of columns — each column carries its own ``dt_left``; finished
-columns take zero-length substeps. The reference's k_qxtop/k_qxbot window
+columns take zero-length substeps, and every in-loop state update is gated
+on the column still being active so those zero-length substeps are exact
+no-ops (matching the reference, where a finished column's do-while body
+simply stops executing). The reference's k_qxtop/k_qxbot window
 bookkeeping is dropped: with whole-column first-order upwind, cells outside
 the occupied window see zero flux divergence, so results are identical.
+
+Each species' substep body lives in ONE module-level helper
+(`_cloud_substep` / `_rain_substep` / `_ice_substep`) shared by the
+per-species loops and the fused `combined_sedimentation` loop, so the two
+paths cannot diverge.
 
 Orientation: (ncol, nz) with k=0 = TOP. Falling flux moves k -> k+1;
 flux above the top cell is zero; the flux leaving k=nz-1 accumulates as
@@ -56,6 +64,97 @@ def _dt_sub(co_max, dt_left):
                                          jnp.maximum(nsub, 1.0)), 0.0)
 
 
+# ---------------------------------------------------------------------------
+# shared per-species substep bodies
+# ---------------------------------------------------------------------------
+
+def _cloud_substep(qc, nc, dt_left, prt, rho, inv_rho, cld_frac_l, acn,
+                   inv_dz, do_predict_nc):
+    """One adaptive substep of cloud sedimentation (:3587-3747).
+    Returns (qc, nc, dt_left, prt)."""
+    act = (dt_left > 1.0e-4)[:, None]
+    qc_in = qc / cld_frac_l
+    nc_in = nc / cld_frac_l
+    has = (qc_in > QSMALL) & act
+    nc_in2, mu_c, lamc, _, _ = cloud_dsd(qc_in, nc_in, rho)
+    nc_new = jnp.where(has, nc_in2 * cld_frac_l, nc)
+    dum = 1.0 / jnp.maximum(lamc, 1e-300) ** C.bcn
+    v_qc = jnp.where(has, acn * _gamma(4.0 + C.bcn + mu_c) * dum /
+                     _gamma(mu_c + 4.0), 0.0)
+    v_nc = jnp.where(has, acn * _gamma(1.0 + C.bcn + mu_c) * dum /
+                     _gamma(mu_c + 1.0), 0.0)
+    co_max = jnp.max(v_qc * dt_left[:, None] * inv_dz, axis=1)
+    dts = _dt_sub(co_max, dt_left)
+    if do_predict_nc:
+        (qc2, nc2), flux_q = _upwind([qc, nc_new], [v_qc, v_nc],
+                                     rho, inv_rho, inv_dz, dts)
+    else:
+        (qc2,), flux_q = _upwind([qc], [v_qc], rho, inv_rho, inv_dz, dts)
+        nc2 = nc_new
+    return qc2, nc2, dt_left - dts, prt + flux_q[:, -1] * dts
+
+
+def _rain_substep(qr, nr, dt_left, prt, rho, inv_rho, cld_frac_r, rhofacr,
+                  inv_dz, vn_t, vm_t):
+    """One adaptive substep of rain sedimentation (:3749-3870).
+    Returns (qr, nr, dt_left, prt)."""
+    act = (dt_left > 1.0e-4)[:, None]
+    qr_in = qr / cld_frac_r
+    nr_in = nr / cld_frac_r
+    has = (qr_in > QSMALL) & act
+    nr_in2, mu_r, lamr, _, _ = rain_dsd(qr_in, nr_in)
+    nr_new = jnp.where(has, nr_in2 * cld_frac_r, nr)
+    ii, jj, rii, rjj = tbl.indices_3(mu_r, jnp.maximum(lamr, 1e-300))
+    v_qr = jnp.where(has, tbl.access_rain_table(vm_t, ii, jj, rii, rjj) *
+                     rhofacr, 0.0)
+    v_nr = jnp.where(has, tbl.access_rain_table(vn_t, ii, jj, rii, rjj) *
+                     rhofacr, 0.0)
+    co_max = jnp.max(v_qr * dt_left[:, None] * inv_dz, axis=1)
+    dts = _dt_sub(co_max, dt_left)
+    (qr2, nr2), flux_q = _upwind([qr, nr_new], [v_qr, v_nr], rho,
+                                 inv_rho, inv_dz, dts)
+    return qr2, nr2, dt_left - dts, prt + flux_q[:, -1] * dts
+
+
+def _ice_substep(qi, ni, qm, bm, dt_left, prt, rho, inv_rho, cld_frac_i,
+                 rhofaci, inv_dz, ice_tab):
+    """One adaptive substep of ice sedimentation (:3911-4065).
+    Returns (qi, ni, qm, bm, dt_left, prt)."""
+    act = (dt_left > 1.0e-4)[:, None]
+    qi_in = qi / cld_frac_i
+    ni_in = ni / cld_frac_i
+    qm_in = qm / cld_frac_i
+    bm_in = bm / cld_frac_i
+    has = (qi_in > QSMALL) & act
+    ni_in = jnp.maximum(ni_in, NSMALL)
+    qm_in2, bm_in2, rhop = bulk_rho_rime(qi_in, qm_in, bm_in)
+    qm_new = jnp.where(has, qm_in2 * cld_frac_i, qm)
+    bm_new = jnp.where(has, bm_in2 * cld_frac_i, bm)
+    di, djj, dii, d1, d4, d5 = tbl.indices_1a(
+        jnp.maximum(qi_in, 1e-300), ni_in, qm_in2, rhop)
+    get = lambda idx: tbl.access_ice_table(ice_tab, djj, dii, di, idx,
+                                           d1, d4, d5)
+    v_n = get(0)   # table index 1: number-weighted fall speed
+    v_q = get(1)   # table index 2: mass-weighted fall speed
+    lammax, lammin = get(6), get(7)
+    ni_in = jnp.where(has, jnp.clip(ni_in, lammin * ni_in,
+                                    jnp.maximum(lammax * ni_in,
+                                                lammin * ni_in)), ni_in)
+    ni_new = jnp.where(has, ni_in * cld_frac_i, ni)
+    v_qit = jnp.where(has, v_q * rhofaci, 0.0)
+    v_nit = jnp.where(has, v_n * rhofaci, 0.0)
+    co_max = jnp.max(v_qit * dt_left[:, None] * inv_dz, axis=1)
+    dts = _dt_sub(co_max, dt_left)
+    (qi2, ni2, qm2, bm2), flux_q = _upwind(
+        [qi, ni_new, qm_new, bm_new],
+        [v_qit, v_nit, v_qit, v_qit], rho, inv_rho, inv_dz, dts)
+    return qi2, ni2, qm2, bm2, dt_left - dts, prt + flux_q[:, -1] * dts
+
+
+# ---------------------------------------------------------------------------
+# public per-species loops
+# ---------------------------------------------------------------------------
+
 def cloud_sedimentation(qc, nc, rho, inv_rho, cld_frac_l, acn, inv_dz, dt,
                         do_predict_nc=False):
     """Stokes-regime cloud droplet sedimentation (:3587-3747).
@@ -65,27 +164,10 @@ def cloud_sedimentation(qc, nc, rho, inv_rho, cld_frac_l, acn, inv_dz, dt,
     Returns (qc, nc, precip_liq_surf [m/s])."""
 
     def body(c):
-        qc_in = c["qc"] / cld_frac_l
-        nc_in = c["nc"] / cld_frac_l
-        has = qc_in > QSMALL
-        nc_in2, mu_c, lamc, _, _ = cloud_dsd(qc_in, nc_in, rho)
-        nc_new = jnp.where(has, nc_in2 * cld_frac_l, c["nc"])
-        dum = 1.0 / jnp.maximum(lamc, 1e-300) ** C.bcn
-        v_qc = jnp.where(has, acn * _gamma(4.0 + C.bcn + mu_c) * dum /
-                         _gamma(mu_c + 4.0), 0.0)
-        v_nc = jnp.where(has, acn * _gamma(1.0 + C.bcn + mu_c) * dum /
-                         _gamma(mu_c + 1.0), 0.0)
-        co_max = jnp.max(v_qc * c["dt_left"][:, None] * inv_dz, axis=1)
-        dts = _dt_sub(co_max, c["dt_left"])
-        if do_predict_nc:
-            (qc2, nc2), flux_q = _upwind([c["qc"], nc_new], [v_qc, v_nc],
-                                         rho, inv_rho, inv_dz, dts)
-        else:
-            (qc2,), flux_q = _upwind([c["qc"]], [v_qc], rho, inv_rho,
-                                     inv_dz, dts)
-            nc2 = nc_new
-        return dict(qc=qc2, nc=nc2, dt_left=c["dt_left"] - dts,
-                    prt=c["prt"] + flux_q[:, -1] * dts)
+        qc2, nc2, dtl, prt = _cloud_substep(
+            c["qc"], c["nc"], c["dt_left"], c["prt"], rho, inv_rho,
+            cld_frac_l, acn, inv_dz, do_predict_nc)
+        return dict(qc=qc2, nc=nc2, dt_left=dtl, prt=prt)
 
     init = dict(qc=qc, nc=nc, dt_left=jnp.full(qc.shape[:1], dt,
                                                dtype=qc.dtype),
@@ -103,22 +185,10 @@ def rain_sedimentation(qr, nr, rho, inv_rho, rhofacr, cld_frac_r, inv_dz,
     vn_t, vm_t, _ = (jnp.asarray(a) for a in tbl.build_rain_tables())
 
     def body(c):
-        qr_in = c["qr"] / cld_frac_r
-        nr_in = c["nr"] / cld_frac_r
-        has = qr_in > QSMALL
-        nr_in2, mu_r, lamr, _, _ = rain_dsd(qr_in, nr_in)
-        nr_new = jnp.where(has, nr_in2 * cld_frac_r, c["nr"])
-        ii, jj, rii, rjj = tbl.indices_3(mu_r, jnp.maximum(lamr, 1e-300))
-        v_qr = jnp.where(has, tbl.access_rain_table(vm_t, ii, jj, rii, rjj) *
-                         rhofacr, 0.0)
-        v_nr = jnp.where(has, tbl.access_rain_table(vn_t, ii, jj, rii, rjj) *
-                         rhofacr, 0.0)
-        co_max = jnp.max(v_qr * c["dt_left"][:, None] * inv_dz, axis=1)
-        dts = _dt_sub(co_max, c["dt_left"])
-        (qr2, nr2), flux_q = _upwind([c["qr"], nr_new], [v_qr, v_nr], rho,
-                                     inv_rho, inv_dz, dts)
-        return dict(qr=qr2, nr=nr2, dt_left=c["dt_left"] - dts,
-                    prt=c["prt"] + flux_q[:, -1] * dts)
+        qr2, nr2, dtl, prt = _rain_substep(
+            c["qr"], c["nr"], c["dt_left"], c["prt"], rho, inv_rho,
+            cld_frac_r, rhofacr, inv_dz, vn_t, vm_t)
+        return dict(qr=qr2, nr=nr2, dt_left=dtl, prt=prt)
 
     init = dict(qr=qr, nr=nr, dt_left=jnp.full(qr.shape[:1], dt,
                                                dtype=qr.dtype),
@@ -136,36 +206,10 @@ def ice_sedimentation(qi, ni, qm, bm, rho, inv_rho, rhofaci, cld_frac_i,
     ice_tab = jnp.asarray(tbl.load_ice_tables()[0])
 
     def body(c):
-        qi_in = c["qi"] / cld_frac_i
-        ni_in = c["ni"] / cld_frac_i
-        qm_in = c["qm"] / cld_frac_i
-        bm_in = c["bm"] / cld_frac_i
-        has = qi_in > QSMALL
-        ni_in = jnp.maximum(ni_in, NSMALL)
-        qm_in2, bm_in2, rhop = bulk_rho_rime(qi_in, qm_in, bm_in)
-        qm_new = jnp.where(has, qm_in2 * cld_frac_i, c["qm"])
-        bm_new = jnp.where(has, bm_in2 * cld_frac_i, c["bm"])
-        di, djj, dii, d1, d4, d5 = tbl.indices_1a(
-            jnp.maximum(qi_in, 1e-300), ni_in, qm_in2, rhop)
-        get = lambda idx: tbl.access_ice_table(ice_tab, djj, dii, di, idx,
-                                               d1, d4, d5)
-        v_n = get(0)   # table index 1: number-weighted fall speed
-        v_q = get(1)   # table index 2: mass-weighted fall speed
-        lammax, lammin = get(6), get(7)
-        ni_in = jnp.where(has, jnp.clip(ni_in, lammin * ni_in,
-                                        jnp.maximum(lammax * ni_in,
-                                                    lammin * ni_in)), ni_in)
-        ni_new = jnp.where(has, ni_in * cld_frac_i, c["ni"])
-        v_qit = jnp.where(has, v_q * rhofaci, 0.0)
-        v_nit = jnp.where(has, v_n * rhofaci, 0.0)
-        co_max = jnp.max(v_qit * c["dt_left"][:, None] * inv_dz, axis=1)
-        dts = _dt_sub(co_max, c["dt_left"])
-        (qi2, ni2, qm2, bm2), flux_q = _upwind(
-            [c["qi"], ni_new, qm_new, bm_new],
-            [v_qit, v_nit, v_qit, v_qit], rho, inv_rho, inv_dz, dts)
-        return dict(qi=qi2, ni=ni2, qm=qm2, bm=bm2,
-                    dt_left=c["dt_left"] - dts,
-                    prt=c["prt"] + flux_q[:, -1] * dts)
+        qi2, ni2, qm2, bm2, dtl, prt = _ice_substep(
+            c["qi"], c["ni"], c["qm"], c["bm"], c["dt_left"], c["prt"],
+            rho, inv_rho, cld_frac_i, rhofaci, inv_dz, ice_tab)
+        return dict(qi=qi2, ni=ni2, qm=qm2, bm=bm2, dt_left=dtl, prt=prt)
 
     init = dict(qi=qi, ni=ni, qm=qm, bm=bm,
                 dt_left=jnp.full(qi.shape[:1], dt, dtype=qi.dtype),
@@ -182,98 +226,36 @@ def combined_sedimentation(qc, nc, qr, nr, qi, ni, qm, bm, rho, inv_rho,
     """All three species' adaptive substep loops fused into ONE
     ``lax.while_loop``.
 
-    Each species keeps its own per-column ``dt_left`` and substep length, so
-    the updates are bit-identical to running cloud_/rain_/ice_sedimentation
-    separately (a finished species takes zero-length substeps, which are
-    exact no-ops). On TPU this replaces 3 sequential data-dependent loops
-    (3 loop-condition syncs per substep round) with one loop whose body XLA
-    fuses across species — the substep counts are Courant-driven and nearly
-    always 1-2 for all species at CRM dt.
+    Each species keeps its own per-column ``dt_left`` and substep length,
+    and every in-substep update is gated on that species' column still
+    being active, so finished species take exact no-op substeps and the
+    updates match running cloud_/rain_/ice_sedimentation separately (the
+    bodies are literally the same shared helpers; agreement is ulp-level —
+    the two paths are distinct XLA programs, so FMA-contraction choices
+    may differ). On TPU
+    this replaces 3 sequential data-dependent loops (3 loop-condition syncs
+    per substep round) with one loop whose body XLA fuses across species —
+    the substep counts are Courant-driven and nearly always 1-2 for all
+    species at CRM dt.
 
     Returns (qc, nc, prt_liq_c, qr, nr, prt_liq_r, qi, ni, qm, bm, prt_ice).
     """
     vn_t, vm_t, _ = (jnp.asarray(a) for a in tbl.build_rain_tables())
     ice_tab = jnp.asarray(tbl.load_ice_tables()[0])
 
-    def cloud_body(c):
-        qc_in = c["qc"] / cld_frac_l
-        nc_in = c["nc"] / cld_frac_l
-        has = qc_in > QSMALL
-        nc_in2, mu_c, lamc, _, _ = cloud_dsd(qc_in, nc_in, rho)
-        nc_new = jnp.where(has, nc_in2 * cld_frac_l, c["nc"])
-        dum = 1.0 / jnp.maximum(lamc, 1e-300) ** C.bcn
-        v_qc = jnp.where(has, acn * _gamma(4.0 + C.bcn + mu_c) * dum /
-                         _gamma(mu_c + 4.0), 0.0)
-        v_nc = jnp.where(has, acn * _gamma(1.0 + C.bcn + mu_c) * dum /
-                         _gamma(mu_c + 1.0), 0.0)
-        co_max = jnp.max(v_qc * c["dtl_c"][:, None] * inv_dz, axis=1)
-        dts = _dt_sub(co_max, c["dtl_c"])
-        if do_predict_nc:
-            (qc2, nc2), flux_q = _upwind([c["qc"], nc_new], [v_qc, v_nc],
-                                         rho, inv_rho, inv_dz, dts)
-        else:
-            (qc2,), flux_q = _upwind([c["qc"]], [v_qc], rho, inv_rho,
-                                     inv_dz, dts)
-            nc2 = nc_new
-        return dict(qc=qc2, nc=nc2, dtl_c=c["dtl_c"] - dts,
-                    prt_c=c["prt_c"] + flux_q[:, -1] * dts)
-
-    def rain_body(c):
-        qr_in = c["qr"] / cld_frac_r
-        nr_in = c["nr"] / cld_frac_r
-        has = qr_in > QSMALL
-        nr_in2, mu_r, lamr, _, _ = rain_dsd(qr_in, nr_in)
-        nr_new = jnp.where(has, nr_in2 * cld_frac_r, c["nr"])
-        ii, jj, rii, rjj = tbl.indices_3(mu_r, jnp.maximum(lamr, 1e-300))
-        v_qr = jnp.where(has, tbl.access_rain_table(vm_t, ii, jj, rii, rjj) *
-                         rhofacr, 0.0)
-        v_nr = jnp.where(has, tbl.access_rain_table(vn_t, ii, jj, rii, rjj) *
-                         rhofacr, 0.0)
-        co_max = jnp.max(v_qr * c["dtl_r"][:, None] * inv_dz, axis=1)
-        dts = _dt_sub(co_max, c["dtl_r"])
-        (qr2, nr2), flux_q = _upwind([c["qr"], nr_new], [v_qr, v_nr], rho,
-                                     inv_rho, inv_dz, dts)
-        return dict(qr=qr2, nr=nr2, dtl_r=c["dtl_r"] - dts,
-                    prt_r=c["prt_r"] + flux_q[:, -1] * dts)
-
-    def ice_body(c):
-        qi_in = c["qi"] / cld_frac_i
-        ni_in = c["ni"] / cld_frac_i
-        qm_in = c["qm"] / cld_frac_i
-        bm_in = c["bm"] / cld_frac_i
-        has = qi_in > QSMALL
-        ni_in = jnp.maximum(ni_in, NSMALL)
-        qm_in2, bm_in2, rhop = bulk_rho_rime(qi_in, qm_in, bm_in)
-        qm_new = jnp.where(has, qm_in2 * cld_frac_i, c["qm"])
-        bm_new = jnp.where(has, bm_in2 * cld_frac_i, c["bm"])
-        di, djj, dii, d1, d4, d5 = tbl.indices_1a(
-            jnp.maximum(qi_in, 1e-300), ni_in, qm_in2, rhop)
-        get = lambda idx: tbl.access_ice_table(ice_tab, djj, dii, di, idx,
-                                               d1, d4, d5)
-        v_n = get(0)
-        v_q = get(1)
-        lammax, lammin = get(6), get(7)
-        ni_in = jnp.where(has, jnp.clip(ni_in, lammin * ni_in,
-                                        jnp.maximum(lammax * ni_in,
-                                                    lammin * ni_in)), ni_in)
-        ni_new = jnp.where(has, ni_in * cld_frac_i, c["ni"])
-        v_qit = jnp.where(has, v_q * rhofaci, 0.0)
-        v_nit = jnp.where(has, v_n * rhofaci, 0.0)
-        co_max = jnp.max(v_qit * c["dtl_i"][:, None] * inv_dz, axis=1)
-        dts = _dt_sub(co_max, c["dtl_i"])
-        (qi2, ni2, qm2, bm2), flux_q = _upwind(
-            [c["qi"], ni_new, qm_new, bm_new],
-            [v_qit, v_nit, v_qit, v_qit], rho, inv_rho, inv_dz, dts)
-        return dict(qi=qi2, ni=ni2, qm=qm2, bm=bm2,
-                    dtl_i=c["dtl_i"] - dts,
-                    prt_i=c["prt_i"] + flux_q[:, -1] * dts)
-
     def body(c):
-        out = dict(c)
-        out.update(cloud_body(c))
-        out.update(rain_body(c))
-        out.update(ice_body(c))
-        return out
+        qc2, nc2, dtl_c, prt_c = _cloud_substep(
+            c["qc"], c["nc"], c["dtl_c"], c["prt_c"], rho, inv_rho,
+            cld_frac_l, acn, inv_dz, do_predict_nc)
+        qr2, nr2, dtl_r, prt_r = _rain_substep(
+            c["qr"], c["nr"], c["dtl_r"], c["prt_r"], rho, inv_rho,
+            cld_frac_r, rhofacr, inv_dz, vn_t, vm_t)
+        qi2, ni2, qm2, bm2, dtl_i, prt_i = _ice_substep(
+            c["qi"], c["ni"], c["qm"], c["bm"], c["dtl_i"], c["prt_i"],
+            rho, inv_rho, cld_frac_i, rhofaci, inv_dz, ice_tab)
+        return dict(qc=qc2, nc=nc2, qr=qr2, nr=nr2, qi=qi2, ni=ni2,
+                    qm=qm2, bm=bm2, dtl_c=dtl_c, dtl_r=dtl_r, dtl_i=dtl_i,
+                    prt_c=prt_c, prt_r=prt_r, prt_i=prt_i)
 
     full = jnp.full(qc.shape[:1], dt, dtype=qc.dtype)
     zero = jnp.zeros(qc.shape[:1], dtype=qc.dtype)

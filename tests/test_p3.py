@@ -228,3 +228,42 @@ def test_combined_sedimentation_matches_separate():
         acn, rhofacr, rhofaci, inv_dz, dt, do_predict_nc=True)
     for x, y in zip(list(a) + list(b) + list(c), comb):
         assert np.allclose(np.asarray(x), np.asarray(y), rtol=1e-10)
+
+
+def test_combined_sedimentation_divergent_substeps():
+    """Fused vs separate loops must agree at ulp level even when the species
+    take different substep counts and cloud fractions are < 1 — the regime
+    where a finished species sits through other species' extra substeps.
+    The in-substep DSD/limiter reassignments are gated on the column still
+    being active, so those extra substeps are exact no-ops; the remaining
+    tolerance covers only cross-program FMA-contraction differences (the
+    separate and fused loops are distinct XLA programs)."""
+    from pam_tpu.physics.p3 import sedimentation as sed
+    rng = np.random.default_rng(7)
+    ncol, nz = 16, 40
+    f = lambda s=1.0: jnp.asarray(s * rng.random((ncol, nz)))
+    qc, nc, qr, nr = f(1e-3), f(1e8), f(4e-3), f(1e6)
+    qi, ni, qm, bm = f(2e-3), f(1e5), f(5e-4), f(1e-6)
+    rho = 1.2 + f(0.2)
+    inv_rho = 1.0 / rho
+    # non-unit, non-uniform cloud fractions (exercise the /cld*cld paths)
+    cl = 0.3 + 0.7 * f()
+    cr = 0.3 + 0.7 * f()
+    ci = 0.3 + 0.7 * f()
+    acn, rhofacr, rhofaci = f(1e-2), 1.0 + f(0.3), 1.0 + f(0.3)
+    # thin layers + large dt: rain/ice fall fast -> multiple substeps, while
+    # Stokes-regime cloud usually finishes in one
+    inv_dz = 1.0 / (20.0 + f(30.0))
+    dt = 120.0
+    a = sed.cloud_sedimentation(qc, nc, rho, inv_rho, cl, acn, inv_dz,
+                                dt, do_predict_nc=True)
+    b = sed.rain_sedimentation(qr, nr, rho, inv_rho, rhofacr, cr,
+                               inv_dz, dt)
+    c = sed.ice_sedimentation(qi, ni, qm, bm, rho, inv_rho, rhofaci, ci,
+                              inv_dz, dt)
+    comb = sed.combined_sedimentation(
+        qc, nc, qr, nr, qi, ni, qm, bm, rho, inv_rho, cl, cr, ci,
+        acn, rhofacr, rhofaci, inv_dz, dt, do_predict_nc=True)
+    for x, y in zip(list(a) + list(b) + list(c), comb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-14, atol=0)

@@ -141,12 +141,6 @@ def main():
         s["th"], s["qc"], s["nc"], s["qr"], s["nr"], s["qi"], s["ni"],
         s["qm"], s["bm"])), (st2,), name="p3_main_part3")
 
-    # substep counts actually taken (data-dependent cost driver)
-    def count(fn):
-        c = 0
-        # emulate: run the while body eagerly is hard; instead report
-        # max Courant-implied substeps from fall speeds
-        return c
     print(f"\nfull={t_full*1e3:.2f} ms  micro={t_micro*1e3:.2f} ms")
 
 
