@@ -271,21 +271,17 @@ def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
     dumi, dumjj, dumii, dum1, dum4, dum5 = tbl.indices_1a(
         jnp.maximum(qi_in, 1e-300), jnp.maximum(ni_in, NSMALL),
         qm_in, rhop)
-    get = lambda idx: jnp.where(has_i, tbl.access_ice_table(
-        ice_tab, dumjj, dumii, dumi, idx, dum1, dum4, dum5), 0.0)
-    tv_qi_fallspd = get(1)      # index 2 (1-based) -> 1
-    tv_ni_selfcol = get(2)
-    tv_qc2qi_col = get(3)
-    tv_qi2qr_melt = get(4)
-    tv_ni_lammax = get(6)
-    tv_ni_lammin = get(7)
-    tv_qi2qr_vent = get(9)
+    # all 7 ice-table entries read at the same fractional position in ONE
+    # batched contraction (1-based table indices 2,3,4,5,7,8,10)
+    (tv_qi_fallspd, tv_ni_selfcol, tv_qc2qi_col, tv_qi2qr_melt,
+     tv_ni_lammax, tv_ni_lammin, tv_qi2qr_vent) = (
+        jnp.where(has_i, v, 0.0) for v in tbl.access_ice_table_multi(
+            ice_tab, (1, 2, 3, 4, 6, 7, 9), dum1, dum4, dum5))
     dumj, dum3 = tbl.indices_1b(qr_in, nr_in)
     has_ir = has_i & (qr_in >= QSMALL)
-    tv_nr_col = jnp.where(has_ir, tbl.access_collect_table(
-        coll_tab, dumjj, dumii, dumj, dumi, 0, dum1, dum3, dum4, dum5), 0.0)
-    tv_qr2qi_col = jnp.where(has_ir, tbl.access_collect_table(
-        coll_tab, dumjj, dumii, dumj, dumi, 1, dum1, dum3, dum4, dum5), 0.0)
+    tv_nr_col, tv_qr2qi_col = (
+        jnp.where(has_ir, v, 0.0) for v in tbl.access_collect_table_multi(
+            coll_tab, (0, 1), dum1, dum3, dum4, dum5))
     # lambda limiters on ni (:677-678)
     ni_in = jnp.where(has_i, jnp.minimum(ni_in, tv_ni_lammax * ni_in), ni_in)
     ni_in = jnp.where(has_i, jnp.maximum(ni_in, tv_ni_lammin * ni_in), ni_in)
@@ -746,14 +742,10 @@ def p3_main_part3(inv_exner, cld_frac_l, cld_frac_r, cld_frac_i, rho,
     ni_in = impose_max_total_ni(ni_in, inv_rho)
     di, djj, dii, d1, d4, d5 = tbl.indices_1a(
         jnp.maximum(qi_in, 1e-300), jnp.maximum(ni_in, NSMALL), qm_in, rhop)
-    get = lambda idx: tbl.access_ice_table(ice_tab, djj, dii, di, idx, d1,
-                                           d4, d5)
-    vm_qi = get(1)
-    eff_i = get(5)
-    lammax, lammin = get(6), get(7)
-    refl = get(8)
-    diam = get(10)
-    bulk_dens = get(11)
+    # all 7 entries at one fractional position -> one batched contraction
+    vm_qi, eff_i, lammax, lammin, refl, diam, bulk_dens = \
+        tbl.access_ice_table_multi(ice_tab, (1, 5, 6, 7, 8, 10, 11),
+                                   d1, d4, d5)
     ni_in = jnp.minimum(ni_in, lammax * ni_in)
     ni_in = jnp.maximum(ni_in, lammin * ni_in)
     ni = jnp.where(ok, ni_in * cld_frac_i, ni)

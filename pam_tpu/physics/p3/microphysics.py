@@ -79,6 +79,25 @@ def _from_cols(a, shape):
     return jnp.moveaxis(a[:, ::-1].reshape(nens, ny, nx, nz), -1, 1)
 
 
+def _to_cols_batch(arrays, nz):
+    """Convert many (nens, nz, ny, nx) fields at once: ONE stacked
+    transpose + flip kernel instead of one per field (the per-field form
+    costs ~2 layout kernels each; the unstacking slices fuse into the
+    consumers)."""
+    st = jnp.stack(arrays)                     # (F, nens, nz, ny, nx)
+    c = jnp.moveaxis(st, 2, -1).reshape(st.shape[0], -1, nz)[..., ::-1]
+    return [c[i] for i in range(st.shape[0])]
+
+
+def _from_cols_batch(arrays, shape):
+    """Inverse of :func:`_to_cols_batch` for many (ncol, nz) fields."""
+    nens, nz, ny, nx = shape
+    st = jnp.stack(arrays)                     # (F, ncol, nz)
+    r = jnp.moveaxis(st[..., ::-1].reshape(st.shape[0], nens, ny, nx, nz),
+                     -1, 2)
+    return [r[i] for i in range(st.shape[0])]
+
+
 @dataclasses.dataclass(frozen=True)
 class P3Micro:
     """Coupler-facing wrapper (analog of Microphysics::timeStep,
@@ -109,15 +128,12 @@ class P3Micro:
                 C.rv, C.cp, 1859.0, C.cpw)
 
         # dry mixing ratios + thermodynamic inputs (Microphysics.h:349-374)
-        q = {}
         dens = {"qc": rho_c, "qv": rho_v}
         for key, name in (("nc", "cloud_water_num"), ("qr", "rain"),
                           ("nr", "rain_num"), ("qi", "ice"),
                           ("ni", "ice_num"), ("qm", "ice_rime"),
                           ("bm", "ice_rime_vol")):
             dens[key] = state[name]
-        for key, rho_x in dens.items():
-            q[key] = _to_cols(rho_x / rho_d, nz)
 
         pressure = C.rd * rho_d * temp + C.rv * rho_v * temp
         exner = (pressure / 1.0e5) ** (C.rd / C.cp)
@@ -129,42 +145,50 @@ class P3Micro:
         pres_dry = C.rd * rho_d * temp
         dpres_dry = rho_d * C.g * dz
 
-        # q_prev carried as a density -> mixing ratio (Microphysics.h:382-384)
-        q_prev = _to_cols(state["q_prev"] / rho_d, nz)
-        t_prev = _to_cols(state["t_prev"], nz)
+        # all inputs through ONE batched layout conversion
+        # (q_prev carried as a density -> mixing ratio, Microphysics.h:382-384)
+        qkeys = list(dens.keys())
+        fields = [dens[k] / rho_d for k in qkeys] + [
+            theta, pres_dry, dz, state["nc_nuceat_tend"],
+            state["ni_activated"], state["inv_qc_relvar"], dpres_dry,
+            inv_exner, state["q_prev"] / rho_d, state["t_prev"],
+            state["nccn_prescribed"]]
+        cols = _to_cols_batch(fields, nz)
+        q = dict(zip(qkeys, cols[:len(qkeys)]))
+        (th_c, pres_c, dz_c, nuceat_c, niact_c, relvar_c, dpres_c,
+         invex_c, q_prev, t_prev, nccn_c) = cols[len(qkeys):]
         ones = jnp.ones_like(q["qc"])
 
         st, diag = p3_main(
             qc=q["qc"], nc=q["nc"], qr=q["qr"], nr=q["nr"], qv=q["qv"],
-            th=_to_cols(theta, nz), qi=q["qi"], qm=q["qm"], ni=q["ni"],
-            bm=q["bm"], pres=_to_cols(pres_dry, nz), dz=_to_cols(dz, nz),
-            nc_nuceat_tend=_to_cols(state["nc_nuceat_tend"], nz),
-            ni_activated=_to_cols(state["ni_activated"], nz),
-            inv_qc_relvar=_to_cols(state["inv_qc_relvar"], nz), dt=dt,
-            dpres=_to_cols(dpres_dry, nz), inv_exner=_to_cols(inv_exner, nz),
+            th=th_c, qi=q["qi"], qm=q["qm"], ni=q["ni"],
+            bm=q["bm"], pres=pres_c, dz=dz_c,
+            nc_nuceat_tend=nuceat_c, ni_activated=niact_c,
+            inv_qc_relvar=relvar_c, dt=dt,
+            dpres=dpres_c, inv_exner=invex_c,
             qv_prev=q_prev, t_prev=t_prev, cld_frac_i=ones, cld_frac_l=ones,
-            cld_frac_r=ones,
-            nccn_prescribed=_to_cols(state["nccn_prescribed"], nz))
+            cld_frac_r=ones, nccn_prescribed=nccn_c)
 
-        # post-process (Microphysics.h:676-704)
-        back = lambda key: _from_cols(st[key], shape)
-        for key, name in (("qc", "cloud_water"), ("nc", "cloud_water_num"),
-                          ("qr", "rain"), ("nr", "rain_num"), ("qi", "ice"),
-                          ("ni", "ice_num"), ("qm", "ice_rime"),
-                          ("bm", "ice_rime_vol"), ("qv", "water_vapor")):
-            out[name] = jnp.maximum(back(key) * rho_d, 0.0)
+        # post-process (Microphysics.h:676-704); one batched conversion back
+        out_keys = ("qc", "nc", "qr", "nr", "qi", "ni", "qm", "bm", "qv")
+        backs = _from_cols_batch(
+            [st[k] for k in out_keys] + [st["th"], diag["liq_ice_exchange"],
+                                         diag["vap_liq_exchange"],
+                                         diag["vap_ice_exchange"]], shape)
+        for key, name in zip(out_keys,
+                             ("cloud_water", "cloud_water_num", "rain",
+                              "rain_num", "ice", "ice_num", "ice_rime",
+                              "ice_rime_vol", "water_vapor")):
+            out[name] = jnp.maximum(backs[out_keys.index(key)] * rho_d, 0.0)
         # constant-volume correction: scale dT by cv/cp (Microphysics.h:
         # 692-698); theta defined wrt the pre-micro exner
-        temp_new = _from_cols(st["th"], shape) * exner
+        temp_new = backs[len(out_keys)] * exner
         out["temp"] = temp + (temp_new - temp) * (C.cp - C.rd) / C.cp
         out["q_prev"] = out["water_vapor"]
         out["t_prev"] = out["temp"]
-        out["liq_ice_exchange_out"] = _from_cols(diag["liq_ice_exchange"],
-                                                 shape)
-        out["vap_liq_exchange_out"] = _from_cols(diag["vap_liq_exchange"],
-                                                 shape)
-        out["vap_ice_exchange_out"] = _from_cols(diag["vap_ice_exchange"],
-                                                 shape)
+        out["liq_ice_exchange_out"] = backs[len(out_keys) + 1]
+        out["vap_liq_exchange_out"] = backs[len(out_keys) + 2]
+        out["vap_ice_exchange_out"] = backs[len(out_keys) + 3]
         prec_shape = (cpl.nens, cpl.ny, cpl.nx)
         out["precip_liq_surf_out"] = st["precip_liq_surf"].reshape(prec_shape)
         out["precip_ice_surf_out"] = st["precip_ice_surf"].reshape(prec_shape)

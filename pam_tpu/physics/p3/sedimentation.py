@@ -105,10 +105,9 @@ def _rain_substep(qr, nr, dt_left, prt, rho, inv_rho, cld_frac_r, rhofacr,
     nr_in2, mu_r, lamr, _, _ = rain_dsd(qr_in, nr_in)
     nr_new = jnp.where(has, nr_in2 * cld_frac_r, nr)
     ii, jj, rii, rjj = tbl.indices_3(mu_r, jnp.maximum(lamr, 1e-300))
-    v_qr = jnp.where(has, tbl.access_rain_table(vm_t, ii, jj, rii, rjj) *
-                     rhofacr, 0.0)
-    v_nr = jnp.where(has, tbl.access_rain_table(vn_t, ii, jj, rii, rjj) *
-                     rhofacr, 0.0)
+    vm_val, vn_val = tbl.access_rain_table_multi((vm_t, vn_t), rii, rjj)
+    v_qr = jnp.where(has, vm_val * rhofacr, 0.0)
+    v_nr = jnp.where(has, vn_val * rhofacr, 0.0)
     co_max = jnp.max(v_qr * dt_left[:, None] * inv_dz, axis=1)
     dts = _dt_sub(co_max, dt_left)
     (qr2, nr2), flux_q = _upwind([qr, nr_new], [v_qr, v_nr], rho,
@@ -132,11 +131,10 @@ def _ice_substep(qi, ni, qm, bm, dt_left, prt, rho, inv_rho, cld_frac_i,
     bm_new = jnp.where(has, bm_in2 * cld_frac_i, bm)
     di, djj, dii, d1, d4, d5 = tbl.indices_1a(
         jnp.maximum(qi_in, 1e-300), ni_in, qm_in2, rhop)
-    get = lambda idx: tbl.access_ice_table(ice_tab, djj, dii, di, idx,
-                                           d1, d4, d5)
-    v_n = get(0)   # table index 1: number-weighted fall speed
-    v_q = get(1)   # table index 2: mass-weighted fall speed
-    lammax, lammin = get(6), get(7)
+    # number-weighted + mass-weighted fall speeds and lambda limits at one
+    # fractional position -> one batched contraction
+    v_n, v_q, lammax, lammin = tbl.access_ice_table_multi(
+        ice_tab, (0, 1, 6, 7), d1, d4, d5)
     ni_in = jnp.where(has, jnp.clip(ni_in, lammin * ni_in,
                                     jnp.maximum(lammax * ni_in,
                                                 lammin * ni_in)), ni_in)

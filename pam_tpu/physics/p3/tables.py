@@ -182,6 +182,25 @@ def access_ice_table(tab, dumjj, dumii, dumi, index, dum1, dum4, dum5):
     return jnp.einsum('...j,...j->...', wjj, T2)
 
 
+def access_ice_table_multi(tab, indices, dum1, dum4, dum5):
+    """Trilinear interpolation of SEVERAL static table indices sharing one
+    set of fractional positions — the common case in p3_main_part2/part3
+    and ice sedimentation, where ~4-7 quantities are read at the same
+    (dum1, dum4, dum5). One batched contraction replaces K separate
+    access_lookup_table calls (micro_p3.F90:1508-1545): the (P, ISIZE) /
+    (P, RIMSIZE) / (P, DENSIZE) hat-weight arrays are read ONCE from HBM
+    instead of K times, and the K dots merge into one MXU matmul.
+    Returns a tuple of K arrays in the order of ``indices``."""
+    t = jnp.asarray(tab[..., list(indices)], dum1.dtype)  # (5, 4, ISIZE, K)
+    wi = _hat(t.shape[2], dum1)
+    wii = _hat(t.shape[1], dum4)
+    wjj = _hat(t.shape[0], dum5)
+    T1 = jnp.einsum('...i,jkie->...jke', wi, t)    # (P,ISIZE)x(ISIZE,20K)
+    T2 = jnp.einsum('...k,...jke->...je', wii, T1)
+    out = jnp.einsum('...j,...je->...e', wjj, T2)
+    return tuple(out[..., n] for n in range(len(indices)))
+
+
 def access_collect_table(tab, dumjj, dumii, dumj, dumi, index, dum1, dum3,
                          dum4, dum5):
     """Quadrilinear interpolation incl. the rain-size axis
@@ -197,6 +216,24 @@ def access_collect_table(tab, dumjj, dumii, dumj, dumi, index, dum1, dum3,
     return jnp.einsum('...a,...a->...', wjj, T2)
 
 
+def access_collect_table_multi(tab, indices, dum1, dum3, dum4, dum5):
+    """Quadrilinear interpolation of several collection-table entries
+    sharing one set of fractional positions (both entries of
+    access_lookup_table_coll, :1548-1615, are always read together in
+    part2). One joint contraction over the two large axes halves the
+    hat-weight HBM reads and merges the two big reduce fusions.
+    Returns a tuple in the order of ``indices``."""
+    t = jnp.asarray(tab[..., list(indices)], dum1.dtype)  # (5,4,I,J,K)
+    wi = _hat(t.shape[2], dum1)
+    wj = _hat(t.shape[3], dum3)
+    wii = _hat(t.shape[1], dum4)
+    wjj = _hat(t.shape[0], dum5)
+    T1 = jnp.einsum('...i,...j,abije->...abe', wi, wj, t)
+    T2 = jnp.einsum('...b,...abe->...ae', wii, T1)
+    out = jnp.einsum('...a,...ae->...e', wjj, T2)
+    return tuple(out[..., n] for n in range(len(indices)))
+
+
 def access_rain_table(tab, dumii, dumjj, rdumii, rdumjj):
     """Bilinear interpolation in the rain (size, mu) tables
     (compute_rain_fall_velocity, :3893-3907), as hat-weight contractions."""
@@ -205,3 +242,17 @@ def access_rain_table(tab, dumii, dumjj, rdumii, rdumjj):
     wj = _hat(t.shape[1], rdumjj)
     T1 = jnp.einsum('...i,ij->...j', wi, t)        # MXU: (P,300)x(300,10)
     return jnp.einsum('...j,...j->...', wj, T1)
+
+
+def access_rain_table_multi(tabs, rdumii, rdumjj):
+    """Bilinear interpolation of several rain tables (vn + vm are always
+    read at the same fractional position in sedimentation,
+    compute_rain_fall_velocity :3893-3907) in one batched contraction.
+    ``tabs``: sequence of (300, 10) arrays. Returns a tuple."""
+    t = jnp.stack([jnp.asarray(a, rdumii.dtype) for a in tabs],
+                  axis=-1)                          # (300, 10, K)
+    wi = _hat(t.shape[0], rdumii)
+    wj = _hat(t.shape[1], rdumjj)
+    T1 = jnp.einsum('...i,ije->...je', wi, t)      # MXU: (P,300)x(300,10K)
+    return tuple(jnp.einsum('...j,...j->...', wj, T1[..., n])
+                 for n in range(t.shape[-1]))

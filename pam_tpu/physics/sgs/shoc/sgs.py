@@ -63,6 +63,23 @@ def _from_cols(a, shape):
     return jnp.moveaxis(a[:, ::-1].reshape(nens, ny, nx, nz), -1, 1)
 
 
+def _to_cols_batch(arrays, nz):
+    """Batched :func:`_to_cols`: one stacked transpose+flip kernel for many
+    fields instead of one per field."""
+    st = jnp.stack(arrays)                     # (F, nens, nz, ny, nx)
+    c = jnp.moveaxis(st, 2, -1).reshape(st.shape[0], -1, nz)[..., ::-1]
+    return [c[i] for i in range(st.shape[0])]
+
+
+def _from_cols_batch(arrays, shape):
+    """Batched :func:`_from_cols`."""
+    nens, nz, ny, nx = shape
+    st = jnp.stack(arrays)                     # (F, ncol, nz)
+    r = jnp.moveaxis(st[..., ::-1].reshape(st.shape[0], nens, ny, nx, nz),
+                     -1, 2)
+    return [r[i] for i in range(st.shape[0])]
+
+
 @dataclasses.dataclass(frozen=True)
 class ShocSgs:
     """Coupler-facing wrapper (analog of SGS::timeStep, SGS.h:195-760)."""
@@ -122,13 +139,10 @@ class ShocSgs:
 
         bc = lambda a: a[:, :, None, None] * jnp.ones(shape, cpl.dtype)
         ones_col = jnp.ones((cpl.nens * cpl.ny * cpl.nx,), cpl.dtype)
-        cols = lambda a: _to_cols(a if a.ndim == 4 else bc(a), nz)
 
-        zt = cols(bc(zmid - z0))
         zi_full = (zint - z0)[:, :, None, None] * \
             jnp.ones((cpl.nens, nz + 1, cpl.ny, cpl.nx), cpl.dtype)
         zi = _to_cols(zi_full, nz + 1)
-        pdel = cols(C.ggr * rho_total * dz[:, :, None, None])
 
         # interface pressure (SGS.h:398-411)
         half = C.ggr * rho_total * dz[:, :, None, None] * 0.5
@@ -144,53 +158,67 @@ class ShocSgs:
         phis = jnp.repeat(z0[:, 0] * C.ggr, cpl.ny * cpl.nx)
 
         tke_in = jnp.maximum(0.004, state["tke"] / rho_total)
-        qtr = jnp.stack([jnp.maximum(state[n] / rho_total, 0.0)
-                         for n in tracer_names], axis=-1)
-        qtr_cols = jnp.stack([_to_cols(qtr[..., i], nz)
-                              for i in range(qtr.shape[-1])], axis=-1)
+        tr4 = [jnp.maximum(state[n] / rho_total, 0.0) for n in tracer_names]
+
+        # all mid-level inputs (incl. the diffused tracers) through ONE
+        # batched layout conversion
+        base = [theta_v, bc(zmid - z0), pmid,
+                C.ggr * rho_total * dz[:, :, None, None], state["wvel"],
+                1.0 / exner, C.cp * temp + C.ggr * bc(zmid - z0), tke_in,
+                theta_l, qv + ql, state["uvel"], state["vvel"],
+                state["wthv_sec"], state["tkh"], state["tk"], ql,
+                state["cldfrac"]]
+        cols_all = _to_cols_batch(base + tr4, nz)
+        (thv_c, zt, pmid_c, pdel, w_c, invex_c, dse_c, tke_c, thl_c, qw_c,
+         u_c, v_c, wthv_c, tkh_c, tk_c, ql_c, cf_c) = cols_all[:len(base)]
+        qtr_cols = jnp.stack(cols_all[len(base):], axis=-1)
 
         st, diags = shoc_main(
             dtime=dt, nadv=1,
             host_dx=dx * ones_col, host_dy=dy * ones_col,
-            thv=cols(theta_v), zt_grid=zt, zi_grid=zi, pres=cols(pmid),
+            thv=thv_c, zt_grid=zt, zi_grid=zi, pres=pmid_c,
             presi=presi, pdel=pdel,
             wthl_sfc=0.0 * ones_col, wqw_sfc=0.0 * ones_col,
             uw_sfc=sfc("sfc_mom_flx_u"), vw_sfc=sfc("sfc_mom_flx_v"),
             wtracer_sfc=jnp.zeros_like(qtr_cols[:, 0, :]),
-            w_field=cols(state["wvel"]), inv_exner=cols(1.0 / exner),
+            w_field=w_c, inv_exner=invex_c,
             phis=phis,
-            host_dse=cols(C.cp * temp + C.ggr * bc(zmid - z0)) +
-            phis[:, None],
-            tke=cols(tke_in), thetal=cols(theta_l), qw=cols(qv + ql),
-            u_wind=cols(state["uvel"]), v_wind=cols(state["vvel"]),
-            qtracers=qtr_cols, wthv_sec=cols(state["wthv_sec"]),
-            tkh=cols(state["tkh"]), tk=cols(state["tk"]),
-            shoc_ql=cols(ql), shoc_cldfrac=cols(state["cldfrac"]),
+            host_dse=dse_c + phis[:, None],
+            tke=tke_c, thetal=thl_c, qw=qw_c,
+            u_wind=u_c, v_wind=v_c,
+            qtracers=qtr_cols, wthv_sec=wthv_c,
+            tkh=tkh_c, tk=tk_c,
+            shoc_ql=ql_c, shoc_cldfrac=cf_c,
             npbl=self.npbl)
 
-        # post-process (SGS.h:700-733)
-        back = lambda a: _from_cols(a, shape)
-        qw_new = back(st["qw"])
-        ql_new = back(st["shoc_ql"])
+        # post-process (SGS.h:700-733); one batched conversion back
+        okeys = ["qw", "shoc_ql", "thetal", "u_wind", "v_wind", "tke",
+                 "wthv_sec", "tk", "tkh", "shoc_cldfrac"]
+        ntr = len(tracer_names)
+        backs = _from_cols_batch(
+            [st[k] for k in okeys] +
+            [st["qtracers"][..., i] for i in range(ntr)] +
+            [diags["shoc_ql2"]], shape)
+        (qw_new, ql_new, thl_new, u_new, v_new, tke_new, wthv_new, tk_new,
+         tkh_new, cf_new) = backs[:len(okeys)]
         qv_new = qw_new - ql_new
-        temp_new = back(st["thetal"]) * exner + (C.lcond / C.cp) * ql_new
+        temp_new = thl_new * exner + (C.lcond / C.cp) * ql_new
         out["temp"] = temp + (temp_new - temp) * (C.cp - C.rgas) / C.cp
         rho_v_new = jnp.maximum(qv_new * rho_d / (1.0 - qv_new), 0.0)
         out["water_vapor"] = rho_v_new
         rho_total_new = rho_d + rho_v_new
         out[cloud_name] = jnp.maximum(ql_new * rho_total_new, 0.0)
-        out["uvel"] = back(st["u_wind"])
-        out["vvel"] = back(st["v_wind"])
-        out["tke"] = back(st["tke"]) * rho_total_new
-        out["wthv_sec"] = back(st["wthv_sec"])
-        out["tk"] = back(st["tk"])
-        out["tkh"] = back(st["tkh"])
-        out["cldfrac"] = jnp.clip(back(st["shoc_cldfrac"]), 0.0, 1.0)
+        out["uvel"] = u_new
+        out["vvel"] = v_new
+        out["tke"] = tke_new * rho_total_new
+        out["wthv_sec"] = wthv_new
+        out["tk"] = tk_new
+        out["tkh"] = tkh_new
+        out["cldfrac"] = jnp.clip(cf_new, 0.0, 1.0)
         for i, n in enumerate(tracer_names):
-            out[n] = jnp.maximum(back(st["qtracers"][..., i]) *
-                                 rho_total_new, 0.0)
+            out[n] = jnp.maximum(backs[len(okeys) + i] * rho_total_new, 0.0)
         rcm = ql_new
-        rcm2 = back(diags["shoc_ql2"])
+        rcm2 = backs[len(okeys) + ntr]
         out["inv_qc_relvar"] = jnp.where(
             (rcm != 0.0) & (rcm2 != 0.0),
             jnp.clip(rcm * rcm / jnp.maximum(rcm2, 1e-300), 0.001, 10.0),

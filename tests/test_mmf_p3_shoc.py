@@ -12,6 +12,46 @@ import pytest
 from pam_tpu.driver.mmf import setup_supercell_mmf
 
 
+def test_mmf_p3_shoc_small_default():
+    """DEFAULT-SUITE (non-slow) end-to-end exercise of the production
+    stack: 2 GCM steps at 32x1x20 with SPAM+SI + P3 + SHOC. Asserts
+    finiteness, water-mass budget closure, and bounded winds so the
+    default ``pytest -q`` run covers the production configuration
+    (VERDICT r2 item 4; ref config inputs/ci/input_pamc.yaml)."""
+    nx, nz, nens = 32, 20, 1
+    dt_gcm, dt_crm = 100.0, 20.0
+    drv, state = setup_supercell_mmf(nx=nx, ny=1, nz=nz, nens=nens,
+                                     xlen=64000.0, ylen=64000.0,
+                                     zlen=20000.0, micro="p3", sgs="shoc",
+                                     dycore="spam", dt_gcm=dt_gcm,
+                                     dt_crm_phys=dt_crm)
+    dz = np.asarray(state["vertical_cell_dz"])[:, :, None, None]
+
+    def total_water(s):
+        names = ("water_vapor", "cloud_water", "rain", "ice")
+        return (sum(np.asarray(s[n]) for n in names) * dz).sum(
+            axis=(1, 2, 3))
+
+    w0 = total_water(state)
+    step = jax.jit(drv.gcm_step)
+    for n in range(2):
+        state = step(state)
+        for k in ("temp", "uvel", "wvel", "water_vapor", "density_dry",
+                  "cloud_water", "rain", "ice", "tke"):
+            assert np.isfinite(np.asarray(state[k])).all(), (n, k)
+        assert np.abs(np.asarray(state["uvel"])).max() < 80.0, n
+        assert np.abs(np.asarray(state["wvel"])).max() < 40.0, n
+        assert 150.0 < np.asarray(state["temp"]).min()
+        assert np.asarray(state["temp"]).max() < 330.0
+    w1 = total_water(state)
+    rel = np.abs(w1 - w0) / w0
+    assert (rel < 0.05).all(), rel
+    assert np.asarray(state["water_vapor"]).min() >= 0.0
+    for n in ("cloud_water", "rain", "ice", "cloud_water_num", "rain_num",
+              "ice_num"):
+        assert np.asarray(state[n]).min() >= 0.0, n
+
+
 @pytest.mark.slow
 def test_mmf_supercell_spam_p3_shoc_three_gcm_steps():
     nx, nz, nens = 65, 50, 1
