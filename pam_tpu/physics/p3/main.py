@@ -810,10 +810,13 @@ def p3_main(qc, nc, qr, nr, qv, th, qi, qm, ni, bm, pres, dz, nc_nuceat_tend,
         st["qc"], st["nc"], st["qr"], st["nr"], st["qi"], st["ni"],
         st["qm"], st["bm"], rho, inv_rho, cld_frac_l, cld_frac_r,
         cld_frac_i, st["acn"], st["rhofacr"], st["rhofaci"], inv_dz, dt,
-        do_predict_nc=(ccn_mode != "const"))
-    t_now = st["th"] * exner
+        do_predict_nc=(ccn_mode != "const"), inc=st["inc"])
+    # NOTE: the reference's t_atm array is last assigned at the END of
+    # part1 (micro_p3.F90:474) and NOT recomputed after part2's latent-heat
+    # updates, so homogeneous freezing thresholds on the PRE-part2
+    # temperature (p3_main:1456 passes t_atm; part2 only updates th_atm).
     qc2, nc2, qr2, nr2, qi2, ni2, qm2, bm2, th2 = homogeneous_freezing(
-        t_now, inv_exner, qc2, nc2, qr2, nr2, qi2, ni2, qm2, bm2, st["th"])
+        st["t"], inv_exner, qc2, nc2, qr2, nr2, qi2, ni2, qm2, bm2, st["th"])
     state, diag = p3_main_part3(inv_exner, cld_frac_l, cld_frac_r,
                                 cld_frac_i, rho, inv_rho, st["rhofaci"],
                                 st["qv"], th2, qc2, nc2, qr2, nr2, qi2, ni2,
