@@ -111,8 +111,10 @@ class P3Micro:
 
     def timestep(self, state, dt):
         cpl = self.coupler
-        nz = cpl.nz
-        shape = (cpl.nens, nz, cpl.ny, cpl.nx)
+        # derive shapes from the arrays, NOT the coupler dims: under a
+        # shard_map the local x/y extents are the per-device shards
+        shape = state["temp"].shape
+        nens, nz, ny, nx = shape
         out = dict(state)
 
         rho_d = state["density_dry"]
@@ -189,7 +191,7 @@ class P3Micro:
         out["liq_ice_exchange_out"] = backs[len(out_keys) + 1]
         out["vap_liq_exchange_out"] = backs[len(out_keys) + 2]
         out["vap_ice_exchange_out"] = backs[len(out_keys) + 3]
-        prec_shape = (cpl.nens, cpl.ny, cpl.nx)
+        prec_shape = (nens, ny, nx)
         out["precip_liq_surf_out"] = st["precip_liq_surf"].reshape(prec_shape)
         out["precip_ice_surf_out"] = st["precip_ice_surf"].reshape(prec_shape)
         return out

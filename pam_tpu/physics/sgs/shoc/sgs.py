@@ -111,8 +111,10 @@ class ShocSgs:
 
     def timestep(self, state, dt):
         cpl = self.coupler
-        nz = cpl.nz
-        shape = (cpl.nens, nz, cpl.ny, cpl.nx)
+        # derive shapes from the arrays, NOT the coupler dims: under a
+        # shard_map the local x/y extents are the per-device shards
+        shape = state["temp"].shape
+        nens, nz, ny, nx = shape
         out = dict(state)
         cloud_name, tracer_names = self._micro_fields()
 
@@ -138,10 +140,10 @@ class ShocSgs:
         theta_l = theta - (1.0 / exner) * (C.lcond / C.cp) * ql
 
         bc = lambda a: a[:, :, None, None] * jnp.ones(shape, cpl.dtype)
-        ones_col = jnp.ones((cpl.nens * cpl.ny * cpl.nx,), cpl.dtype)
+        ones_col = jnp.ones((nens * ny * nx,), cpl.dtype)
 
         zi_full = (zint - z0)[:, :, None, None] * \
-            jnp.ones((cpl.nens, nz + 1, cpl.ny, cpl.nx), cpl.dtype)
+            jnp.ones((nens, nz + 1, ny, nx), cpl.dtype)
         zi = _to_cols(zi_full, nz + 1)
 
         # interface pressure (SGS.h:398-411)
@@ -155,7 +157,7 @@ class ShocSgs:
         presi = _to_cols(pint_full, nz + 1)
 
         sfc = lambda name: state[name].reshape(-1)
-        phis = jnp.repeat(z0[:, 0] * C.ggr, cpl.ny * cpl.nx)
+        phis = jnp.repeat(z0[:, 0] * C.ggr, ny * nx)
 
         tke_in = jnp.maximum(0.004, state["tke"] / rho_total)
         tr4 = [jnp.maximum(state[n] / rho_total, 0.0) for n in tracer_names]
@@ -223,5 +225,5 @@ class ShocSgs:
             (rcm != 0.0) & (rcm2 != 0.0),
             jnp.clip(rcm * rcm / jnp.maximum(rcm2, 1e-300), 0.001, 10.0),
             1.0)
-        out["pblh"] = diags["pblh"].reshape(cpl.nens, cpl.ny, cpl.nx)
+        out["pblh"] = diags["pblh"].reshape(nens, ny, nx)
         return out

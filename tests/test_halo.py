@@ -226,3 +226,28 @@ def test_explicit_x_sharded_collective_profile(mmf_spam_si):
     assert counts["all-reduce"] > 0, counts
     assert counts["all-gather"] == 0, counts
     assert counts["all-to-all"] == 0, counts
+
+
+def test_explicit_collective_count_flat_in_shards(mmf_spam_si):
+    """Scaling regression (VERDICT r2 item 3): the explicit path's
+    per-step collective COUNT must not grow with the x-shard count — the
+    halo schedule is a fixed number of ppermutes/psums per step whose
+    per-device payload shrinks as 1/N (weak-scalable by construction,
+    like the reference's fixed per-step MPI exchange schedule,
+    exchange.h:190-631). A count that grows with N would mean the
+    schedule degrades at scale."""
+    drv, state = mmf_spam_si
+    counts = {}
+    for n_x in (2, 4, 8):
+        mesh = make_mesh(n_ens_shards=8 // n_x, n_x_shards=n_x)
+        step, place = sharded_crm_step(drv, mesh)
+        placed = place(state)
+        txt = jax.jit(step).lower(placed).compile().as_text()
+        counts[n_x] = _collective_counts(txt)
+    for op in ("collective-permute", "all-reduce", "all-gather",
+               "all-to-all", "reduce-scatter"):
+        vals = [counts[n][op] for n in (2, 4, 8)]
+        # non-increasing: XLA may merge collectives at higher counts
+        # (observed: one all-reduce pair fuses at 8 shards), but growth
+        # with N would mean the schedule degrades at scale
+        assert vals[0] >= vals[1] >= vals[2], (op, vals)

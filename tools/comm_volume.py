@@ -68,9 +68,12 @@ def collective_stats(hlo_text):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nx", type=int, default=64)
+    ap.add_argument("--ny", type=int, default=1)
     ap.add_argument("--nz", type=int, default=50)
     ap.add_argument("--nens", type=int, default=8)
     ap.add_argument("--dycore", default="spam")
+    ap.add_argument("--micro", default="kessler")
+    ap.add_argument("--sgs", default="none")
     args = ap.parse_args()
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -80,9 +83,10 @@ def main():
     from pam_tpu.parallel.sharded_step import sharded_crm_step
 
     drv, state = setup_supercell_mmf(
-        nx=args.nx, ny=1, nz=args.nz, nens=args.nens,
-        xlen=2000.0 * args.nx, ylen=64000.0, zlen=20000.0,
-        micro="kessler", dt_gcm=80.0, dt_crm_phys=20.0, dycore=args.dycore)
+        nx=args.nx, ny=args.ny, nz=args.nz, nens=args.nens,
+        xlen=2000.0 * args.nx, ylen=2000.0 * max(args.ny, 32),
+        zlen=20000.0, micro=args.micro, sgs=args.sgs,
+        dt_gcm=80.0, dt_crm_phys=20.0, dycore=args.dycore)
     state = gcm_forcing.compute_gcm_forcing_tendencies(drv.coupler, state,
                                                        drv.dt_gcm)
 
