@@ -195,8 +195,8 @@ def cloud_sedimentation(qc, nc, rho, inv_rho, cld_frac_l, acn, inv_dz, dt,
                     prt=prt)
 
     init = dict(qc=qc, nc=nc, qc_in=qc_in, nc_in=nc_in,
-                dt_left=jnp.full(qc.shape[:1], dt, dtype=qc.dtype),
-                prt=jnp.zeros(qc.shape[:1], dtype=qc.dtype))
+                dt_left=jnp.zeros_like(qc[:, 0]) + dt,
+                prt=jnp.zeros_like(qc[:, 0]))
     out = jax.lax.while_loop(lambda c: jnp.any(c["dt_left"] > 1.0e-4),
                              body, init)
     return out["qc"], out["nc"], out["prt"] * C.inv_rho_h2o / dt
@@ -220,8 +220,8 @@ def rain_sedimentation(qr, nr, rho, inv_rho, rhofacr, cld_frac_r, inv_dz,
                     prt=prt)
 
     init = dict(qr=qr, nr=nr, qr_in=qr_in, nr_in=nr_in,
-                dt_left=jnp.full(qr.shape[:1], dt, dtype=qr.dtype),
-                prt=jnp.zeros(qr.shape[:1], dtype=qr.dtype))
+                dt_left=jnp.zeros_like(qr[:, 0]) + dt,
+                prt=jnp.zeros_like(qr[:, 0]))
     out = jax.lax.while_loop(lambda c: jnp.any(c["dt_left"] > 1.0e-4),
                              body, init)
     return out["qr"], out["nr"], out["prt"] * C.inv_rho_h2o / dt
@@ -249,8 +249,8 @@ def ice_sedimentation(qi, ni, qm, bm, rho, inv_rho, rhofaci, cld_frac_i,
 
     init = dict(qi=qi, ni=ni, qm=qm, bm=bm, qi_in=qi_in, ni_in=ni_in,
                 qm_in=qm_in, bm_in=bm_in,
-                dt_left=jnp.full(qi.shape[:1], dt, dtype=qi.dtype),
-                prt=jnp.zeros(qi.shape[:1], dtype=qi.dtype))
+                dt_left=jnp.zeros_like(qi[:, 0]) + dt,
+                prt=jnp.zeros_like(qi[:, 0]))
     out = jax.lax.while_loop(lambda c: jnp.any(c["dt_left"] > 1.0e-4),
                              body, init)
     return (out["qi"], out["ni"], out["qm"], out["bm"],
@@ -311,8 +311,10 @@ def combined_sedimentation(qc, nc, qr, nr, qi, ni, qm, bm, rho, inv_rho,
                     dtl_c=dtl_c, dtl_r=dtl_r, dtl_i=dtl_i,
                     prt_c=prt_c, prt_r=prt_r, prt_i=prt_i)
 
-    full = jnp.full(qc.shape[:1], dt, dtype=qc.dtype)
-    zero = jnp.zeros(qc.shape[:1], dtype=qc.dtype)
+    # zeros_like(qc[:, 0]) (not jnp.full) so the carry inherits qc's
+    # varying manual axes under shard_map (scan-vma rule)
+    full = jnp.zeros_like(qc[:, 0]) + dt
+    zero = jnp.zeros_like(qc[:, 0])
     init = dict(qc=qc, nc=nc, qr=qr, nr=nr, qi=qi, ni=ni, qm=qm, bm=bm,
                 qc_in=qc_in, nc_in=nc_in, qr_in=qr_in, nr_in=nr_in,
                 qi_in=qi_in, ni_in=ni_in, qm_in=qm_in, bm_in=bm_in,
