@@ -68,11 +68,15 @@ def kessler_column(theta, qv, qc, qr, rho, z, exner, dt, c: Constants):
     pc = 3.8 / (exner ** (cp / Rd) * psl)
     velqr = _terminal_velocity(qr, r, rhalf)
 
-    # global CFL-limited sub-step (ref: Microphysics.h:372-390)
+    # global CFL-limited sub-step (ref: Microphysics.h:372-390); the min
+    # must span the ENTIRE horizontal domain — under an explicit shard_map
+    # the local jnp.min is followed by a lax.pmin over the active mesh
+    # axes (comm.pmin_h), matching the reference's full-array minval
+    from ..parallel import comm
     dz_up = z[1:] - z[:-1]
     dt2d = jnp.where(velqr[:-1] > 1.0e-10,
                      0.8 * dz_up / velqr[:-1], dt)
-    dt_max = jnp.minimum(jnp.min(dt2d), dt)
+    dt_max = jnp.minimum(comm.pmin_h(dt2d), dt)
     rainsplit = jnp.ceil(dt / dt_max).astype(jnp.int32)
     dt0 = dt / rainsplit.astype(theta.dtype)
 
@@ -118,8 +122,19 @@ def kessler_column(theta, qv, qc, qr, rho, z, exner, dt, c: Constants):
 @dataclasses.dataclass(frozen=True, eq=False)
 class KesslerMicro:
     """Coupler-facing wrapper (analog of Microphysics::timeStep,
-    Microphysics.h:123-274)."""
+    Microphysics.h:123-274).
+
+    ens_chunk: if set, the ensemble axis is processed in chunks of this
+    size, each with its OWN rainsplit CFL min. The reference's global min
+    over the whole batched array (Microphysics.h:385-390) is an artifact
+    of batching independent CRMs into one kernel — physically each CRM's
+    sub-cycle count is its own — so chunking deviates from the reference
+    only in which CRMs share a trip count. Calm chunks stop sub-cycling
+    early and the per-chunk working set stays VMEM-resident, recovering
+    the large-nens throughput loss (PERF.md "Why not nens scaling").
+    Default None = the reference's exact global-min behavior."""
     coupler: Coupler
+    ens_chunk: int | None = None
 
     @property
     def name(self) -> str:
@@ -151,8 +166,21 @@ class KesslerMicro:
         theta = temp / exner
         zmid = jnp.transpose(state["vertical_midpoint_height"],
                              (1, 0))[:, None, :]        # (nz, 1, nens)
-        theta, qv, qc, qr, precl = kessler_column(
-            theta, qv, qc, qr, rho_d, zmid, exner, dt, c)
+
+        ck = self.ens_chunk
+        if ck is None or ck >= nens:
+            theta, qv, qc, qr, precl = kessler_column(
+                theta, qv, qc, qr, rho_d, zmid, exner, dt, c)
+        else:
+            parts = []
+            for s in range(0, nens, ck):
+                sl = (slice(None), slice(None), slice(s, s + ck))
+                parts.append(kessler_column(
+                    theta[sl], qv[sl], qc[sl], qr[sl], rho_d[sl],
+                    zmid[:, :, s:s + ck], exner[sl], dt, c))
+            theta, qv, qc, qr, precl = (
+                jnp.concatenate([p[i] for p in parts], axis=-1)
+                for i in range(5))
         out["water_vapor"] = uncol(qv * rho_d)
         out["cloud_liquid"] = uncol(qc * rho_d)
         out["precip_liquid"] = uncol(qr * rho_d)

@@ -147,6 +147,26 @@ def test_explicit_crm_step_spam_si_matches_unsharded(mmf_spam_si):
     _compare(ref, out)
 
 
+def test_explicit_kessler_rainsplit_min_spans_shards(mmf_spam_si):
+    """The rainsplit CFL min must span the WHOLE domain under explicit
+    x-sharding (Microphysics.h:385-390 is a full-array minval). Guarded
+    here with a state that actually RAINS non-uniformly in x — one x-cell
+    carries heavy rain, so a shard-local min would give different
+    sub-cycle counts on rainy vs dry shards and diverge from unsharded."""
+    drv, state = mmf_spam_si
+    state = dict(state)
+    pr = np.array(state["precip_liquid"])
+    pr[:, 2:8, :, 3] = 4e-3 * np.asarray(state["density_dry"])[:, 2:8, :, 3]
+    state["precip_liquid"] = jnp.asarray(pr)
+    ref = jax.jit(drv.crm_phys_step)(state)
+    assert float(jnp.max(state["precip_liquid"])) > 0
+    mesh = make_mesh(n_ens_shards=2, n_x_shards=4)
+    step, place = sharded_crm_step(drv, mesh)
+    out = step(place(state))
+    _compare(ref, out, keys=("temp", "water_vapor", "cloud_liquid",
+                             "precip_liquid", "precl"))
+
+
 @pytest.mark.slow
 def test_explicit_spam_si_multi_step(mmf_spam_si):
     """10 steps sharded == 10 steps unsharded (steady-state comm pattern)."""

@@ -134,3 +134,40 @@ def test_mmf_stretched_vertical_grid():
         t = np.asarray(s["temp"])
         assert np.isfinite(t).all(), dyc
         assert t.min() > 180.0 and t.max() < 330.0
+
+
+def test_kessler_ens_chunked_matches_global_when_trivial():
+    """ens_chunk = nens must be EXACTLY the global path, and small chunks
+    must agree wherever the chunk-local rainsplit equals the global one
+    (here: an x-uniform initial state, so every chunk sees the same CFL
+    min and the chunked result is bit-identical). The deviation knob is
+    documented in KesslerMicro: each chunk's sub-cycle count is its own,
+    as each CRM's would be outside the batched implementation."""
+    import dataclasses
+    from pam_tpu.driver.mmf import setup_supercell_mmf
+    from pam_tpu.modules import gcm_forcing
+
+    drv, state = setup_supercell_mmf(nx=8, ny=1, nz=12, nens=4,
+                                     xlen=16000.0, ylen=64000.0,
+                                     zlen=20000.0, micro="kessler",
+                                     dt_gcm=80.0, dt_crm_phys=20.0,
+                                     dycore="spam")
+    state = gcm_forcing.compute_gcm_forcing_tendencies(drv.coupler, state,
+                                                       drv.dt_gcm)
+    # make it rain so rainsplit > 1
+    pr = np.array(state["precip_liquid"])
+    pr[:, 2:8] = 3e-3 * np.asarray(state["density_dry"])[:, 2:8]
+    state["precip_liquid"] = jnp.asarray(pr)
+
+    base = drv.micro.timestep(state, 20.0)
+    full = dataclasses.replace(drv.micro, ens_chunk=4).timestep(state, 20.0)
+    chunked = dataclasses.replace(drv.micro, ens_chunk=2).timestep(state,
+                                                                   20.0)
+    for k in ("temp", "water_vapor", "cloud_liquid", "precip_liquid",
+              "precl"):
+        np.testing.assert_array_equal(np.asarray(base[k]),
+                                      np.asarray(full[k]), err_msg=k)
+        # x-uniform ensemble -> chunk minima == global min -> identical
+        np.testing.assert_allclose(np.asarray(base[k]),
+                                   np.asarray(chunked[k]), rtol=1e-12,
+                                   err_msg=k)
