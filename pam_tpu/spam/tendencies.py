@@ -36,11 +36,19 @@ def _edge_recon_x(field, tables, recon_type: str = "wenofunc"):
     (left_edge, right_edge) values. field: (..., nens, nlev, nx).
     recon_type: "wenofunc"/"weno" (limited) or "cfv" (centered, no
     limiting) — RECONSTRUCTION_TYPE, common.h:72-88."""
+    from ..parallel import comm
     s2c, wrl, tvh, tvl, c2g, idl, sigma = tables
     ord = s2c.shape[-1]
     hs = (ord - 1) // 2
-    # periodic x stencils: stencil for cell i = cells i-hs..i+hs
-    sten = [rollm(field, s - hs) for s in range(ord)]
+    # periodic x stencils: stencil for cell i = cells i-hs..i+hs.
+    # ONE halo_pad + ord fused slices instead of ord materialized rolls:
+    # XLA folds slices of a single operand into the WENO fusion as offset
+    # reads (a roll = slice+slice+concat materializes a full copy per
+    # stencil), and under explicit sharding this is one 2-ppermute halo
+    # exchange per stage instead of one per roll (comm.halo_pad).
+    nx = field.shape[-1]
+    pad = comm.halo_pad(field, hs)
+    sten = [pad[..., s:s + nx] for s in range(ord)]
     if recon_type == "cfv":
         aw = weno.cfv_coefs_list(sten, s2c)
     else:
