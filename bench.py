@@ -73,12 +73,18 @@ def main():
 
     log(f"devices: {jax.devices()}")
 
+    # PAM_BENCH_KESSLER_CHUNK=<n>: per-chunk rainsplit CFL sub-cycling
+    # (KesslerMicro.ens_chunk — the nens-scaling knob, PERF.md)
+    kess_chunk = os.environ.get("PAM_BENCH_KESSLER_CHUNK")
+    micro_kwargs = ({"ens_chunk": int(kess_chunk)} if kess_chunk else None)
+
     def run_config(micro, sgs):
         drv, state = setup_supercell_mmf(
             nx=nx, ny=ny, nz=nz, nens=nens, xlen=128000.0, ylen=64000.0,
             zlen=20000.0, micro=micro, sgs=sgs, dt_gcm=900.0,
             dt_crm_phys=20.0, dycore=dycore, dtype=jnp.float32,
-            dycore_kwargs=dycore_kwargs)
+            dycore_kwargs=dycore_kwargs,
+            micro_kwargs=micro_kwargs if micro == "kessler" else None)
         state = gcm_forcing.compute_gcm_forcing_tendencies(
             drv.coupler, state, drv.dt_gcm)
 

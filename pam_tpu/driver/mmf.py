@@ -87,7 +87,7 @@ def setup_supercell_mmf(nx=65, ny=1, nz=50, nens=1, xlen=128000.0,
                         micro="kessler", sgs="none", dt_gcm=900.0,
                         dt_crm_phys=20.0, perturb_seeds=None,
                         dycore="awfl", crm_per_phys=1,
-                        zint=None, dycore_kwargs=None):
+                        zint=None, dycore_kwargs=None, micro_kwargs=None):
     """Build the full MMF configuration mirroring inputs/input_pamc.yaml
     (65x1x50 cells, 128 km x 64 km, 20 km top) with supercell column init.
     dycore="awfl" (PAM-A) or "spam" (PAM-C: MCE_rho + semi-implicit with
@@ -137,11 +137,12 @@ def setup_supercell_mmf(nx=65, ny=1, nz=50, nens=1, xlen=128000.0,
     if micro == "kessler":
         from ..physics.kessler import KesslerMicro, init_state
         state = init_state(cpl, state)
-        micro_obj = KesslerMicro(cpl)
+        micro_obj = KesslerMicro(cpl, **(micro_kwargs or {}))
     elif micro == "p3":
         from ..physics import p3 as p3mod
         state = p3mod.init_state(cpl, state)
-        micro_obj = p3mod.P3Micro(cpl, sgs_shoc=(sgs == "shoc"))
+        micro_obj = p3mod.P3Micro(cpl, sgs_shoc=(sgs == "shoc"),
+                                  **(micro_kwargs or {}))
 
     sgs_obj = None
     if sgs == "shoc":

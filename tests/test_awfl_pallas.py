@@ -64,3 +64,37 @@ def test_pallas_full_timestep_runs():
         out = jax.jit(lambda s: dyc_pl.timestep(s, 2.0))(state)
     for k in ("density_dry", "uvel", "wvel", "temp"):
         assert np.isfinite(np.asarray(out[k])).all()
+
+
+def test_weno_x_pallas_matches_xla_path():
+    """The Pallas x-WENO edge-recon experiment (VERDICT r2 item 6) must be
+    bit-identical to the XLA fused path — the kernel body reuses
+    weno.weno_coefs_list, so any difference means a staging bug."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pam_tpu.ops import weno
+    from pam_tpu.ops.weno_x_pallas import edge_recon_x_pallas
+
+    ord, nx, rows = 5, 33, 96
+    hs = (ord - 1) // 2
+    rng = np.random.default_rng(3)
+    field = jnp.asarray(rng.standard_normal((rows, nx)), jnp.float32)
+    pad = jnp.concatenate([field[:, -hs:], field, field[:, :hs]], axis=-1)
+    tables = weno.weno_tables(ord, dtype=jnp.float32)
+
+    import jax
+
+    @jax.jit
+    def xla_path(pad):
+        sten = [pad[..., s:s + nx] for s in range(ord)]
+        s2c, wrl, tvh, tvl, c2g, idl, sigma = tables
+        aw = weno.weno_coefs_list(sten, s2c, wrl, tvh, tvl, idl, sigma)
+        return (weno._eval_edge_list(aw, c2g[:, 0]),
+                weno._eval_edge_list(aw, c2g[:, 1]))
+
+    lx, rx = xla_path(pad)
+    lp, rp = edge_recon_x_pallas(pad, ord=ord, interpret=True)
+    # both sides are jit programs of the same math; interpret-mode Pallas
+    # evaluates the identical jaxpr, so agreement is exact on CPU
+    np.testing.assert_array_equal(np.asarray(lx), np.asarray(lp))
+    np.testing.assert_array_equal(np.asarray(rx), np.asarray(rp))
