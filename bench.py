@@ -74,21 +74,38 @@ def main():
     log(f"devices: {jax.devices()}")
 
     # PAM_BENCH_KESSLER_CHUNK=<n>: per-chunk rainsplit CFL sub-cycling
-    # (KesslerMicro.ens_chunk — the nens-scaling knob, PERF.md)
+    # (KesslerMicro.ens_chunk — measured neutral; kept as a knob)
     kess_chunk = os.environ.get("PAM_BENCH_KESSLER_CHUNK")
     micro_kwargs = ({"ens_chunk": int(kess_chunk)} if kess_chunk else None)
+    # PAM_BENCH_ENS_MICROBATCH=<chunk>: run the CRM step in sequential
+    # VMEM-sized ensemble micro-batches (crm_phys_step_microbatched) —
+    # the large-nens residency fix
+    mb = os.environ.get("PAM_BENCH_ENS_MICROBATCH")
+    mb = int(mb) if mb else None
 
     def run_config(micro, sgs):
+        drv_nens = mb if mb else nens
         drv, state = setup_supercell_mmf(
-            nx=nx, ny=ny, nz=nz, nens=nens, xlen=128000.0, ylen=64000.0,
-            zlen=20000.0, micro=micro, sgs=sgs, dt_gcm=900.0,
+            nx=nx, ny=ny, nz=nz, nens=drv_nens, xlen=128000.0,
+            ylen=64000.0, zlen=20000.0, micro=micro, sgs=sgs, dt_gcm=900.0,
             dt_crm_phys=20.0, dycore=dycore, dtype=jnp.float32,
             dycore_kwargs=dycore_kwargs,
             micro_kwargs=micro_kwargs if micro == "kessler" else None)
+        if mb and mb != nens:
+            # chunk-sized driver + full-ensemble state
+            _, state = setup_supercell_mmf(
+                nx=nx, ny=ny, nz=nz, nens=nens, xlen=128000.0,
+                ylen=64000.0, zlen=20000.0, micro=micro, sgs=sgs,
+                dt_gcm=900.0, dt_crm_phys=20.0, dycore=dycore,
+                dtype=jnp.float32, dycore_kwargs=dycore_kwargs)
         state = gcm_forcing.compute_gcm_forcing_tendencies(
             drv.coupler, state, drv.dt_gcm)
 
-        step = jax.jit(drv.crm_phys_step)
+        if mb and mb != nens:
+            step = jax.jit(lambda s: drv.crm_phys_step_microbatched(
+                s, nens // mb))
+        else:
+            step = jax.jit(drv.crm_phys_step)
         t0 = time.time()
         state = step(state)
         jax.block_until_ready(state["temp"])

@@ -69,6 +69,32 @@ class MmfDriver:
         state, _ = jax.lax.scan(body, state, None, length=nsteps)
         return state
 
+    def crm_phys_step_microbatched(self, state, n_chunks: int):
+        """crm_phys_step over the ensemble in ``n_chunks`` sequential
+        micro-batches (``lax.map`` over ens chunks of every state field).
+
+        Per-point throughput peaks near nens=128 and falls ~40% by
+        nens=1024 because the step's working set leaves VMEM residency
+        (PERF.md "Why not nens scaling"; a per-chunk Kessler rainsplit was
+        measured NEUTRAL, so residency is the whole story). Ensemble
+        members are independent CRMs, so running VMEM-sized chunks
+        back-to-back restores the per-point peak at any nens. This driver
+        must have been built with nens = total/n_chunks (the reference
+        columns baked into the dycore are chunk-sized); ``state`` carries
+        the full ensemble. The only cross-member coupling in a step is
+        Kessler's batched rainsplit min, which becomes per-chunk (the same
+        documented deviation as KesslerMicro.ens_chunk)."""
+        def split(a):
+            return a.reshape((n_chunks, a.shape[0] // n_chunks) +
+                             a.shape[1:])
+
+        def join(a):
+            return a.reshape((-1,) + a.shape[2:])
+
+        chunked = jax.tree.map(split, state)
+        out = jax.lax.map(self.crm_phys_step, chunked)
+        return jax.tree.map(join, out)
+
     def run(self, state, sim_time: float, callback: Callable = None):
         """Python-level GCM loop (ref: driver.cpp:237-272)."""
         nsteps_gcm = int(np.ceil(sim_time / self.dt_gcm))
