@@ -32,6 +32,23 @@ def _gamma(x):
     return jnp.exp(jax.scipy.special.gammaln(x))
 
 
+def _expm1(x):
+    """Accurate exp(x)-1 via Kahan's formula (exp & log only — jnp.expm1
+    has no Mosaic lowering). Matches expm1 to ulps for all x."""
+    u = jnp.exp(x)
+    um1 = u - 1.0
+    return jnp.where(u == 1.0, x,
+                     jnp.where(um1 == -1.0, -1.0, um1 * x / jnp.log(u)))
+
+
+def _cbrt(x):
+    """x**(1/3) for non-negative x (every P3 call site is non-negative).
+    jnp.cbrt itself has no Mosaic lowering, which would block running the
+    pointwise part2 chain as one Pallas kernel; the pow form is
+    ulp-equivalent on [0, inf)."""
+    return x ** (1.0 / 3.0)
+
+
 # --------------------------------------------------------------------- sat
 def murphy_koop_svp(t, ice: bool):
     """Saturation vapor pressure [Pa] (wv_sat_scream.F90 MurphyKoop_svp)."""
@@ -84,7 +101,7 @@ def cloud_dsd(qc, nc, rho):
     mu = 0.0005714 * (nc_ * 1.0e-6 * rho) + 0.2714
     mu = 1.0 / (mu * mu) - 1.0
     mu = jnp.clip(mu, 2.0, 15.0)
-    lamc = jnp.cbrt(C.cons1 * nc_ * (mu + 3.0) * (mu + 2.0) * (mu + 1.0) /
+    lamc = _cbrt(C.cons1 * nc_ * (mu + 3.0) * (mu + 2.0) * (mu + 1.0) /
                     jnp.maximum(qc, 1e-300))
     lammin = (mu + 1.0) * 2.5e4
     lammax = (mu + 1.0) * 1.0e6
@@ -106,7 +123,7 @@ def rain_dsd(qr, nr):
     ok = qr >= QSMALL
     nr_ = jnp.maximum(nr, NSMALL)
     mu = MU_R_CONSTANT
-    lamr = jnp.cbrt(C.cons1 * nr_ * (mu + 3.0) * (mu + 2.0) * (mu + 1.0) /
+    lamr = _cbrt(C.cons1 * nr_ * (mu + 3.0) * (mu + 2.0) * (mu + 1.0) /
                     jnp.maximum(qr, 1e-300))
     lammax = (mu + 1.0) * 1.0e5
     lammin = (mu + 1.0) * 500.0
@@ -218,15 +235,77 @@ def p3_main_part1(dt, pres, dpres, dz, nc_nuceat_tend, inv_exner, exner,
 
 
 # -------------------------------------------------------------------- part 2
-def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
-                  inv_cl, inv_ci, inv_cr, ni_activated, inv_qc_relvar,
-                  qv_prev, t_prev, st, ccn_mode="prescribed"):
-    """All microphysical process rates + prognostic updates
-    (micro_p3.F90 p3_main_part2:483-975). ``st`` is part1's output dict;
-    returns an updated dict + diagnostics."""
+# Names and order of the table-stage outputs consumed by the pointwise
+# core (the contract between _part2_tables and _part2_core)
+_PART2_TV_NAMES = (
+    "mu_r", "lamr", "cdistr", "logn0r", "nr_in_dsd", "nr_in_t", "ni_in_t",
+    "qm_in2", "bm_in2", "tv_qi_fallspd", "tv_ni_selfcol", "tv_qc2qi_col",
+    "tv_qi2qr_melt", "tv_ni_lammax", "tv_ni_lammin", "tv_qi2qr_vent",
+    "tv_nr_col", "tv_qr2qi_col", "revap_val",
+    "nc_in_dsd", "mu_c", "lamc", "cdist", "cdist1", "gam_mur2",
+    "gam_mur4", "gam_mur7")
+
+
+def _part2_tables(st):
+    """Stage A of p3_main_part2: everything whose outputs feed the lookup
+    tables (DSD precursors, index walks) plus the three batched MXU table
+    contractions and the revap interpolation. All remaining part2 work is
+    pointwise and lives in :func:`_part2_core` (one Pallas kernel on TPU).
+    Returns a dict keyed by _PART2_TV_NAMES."""
+    ice_tab, coll_tab = (jnp.asarray(a) for a in tbl.load_ice_tables())
+    qc_in, qr_in, qi_in, qm_in, nc_in, nr_in, ni_in, bm_in = st["inc"]
+    inv_rho = st["inv_rho"]
+
+    nr_in_dsd, mu_r, lamr, cdistr, logn0r = rain_dsd(qr_in, nr_in)
+    nc_in_dsd, mu_c, lamc, cdist, cdist1 = cloud_dsd(qc_in, nc_in,
+                                                     st["rho"])
+    # rain-DSD gamma factors (mu_r is the v4 constant; arrays so the core
+    # stays gamma-free — Mosaic has no lgamma lowering)
+    gam_mur2 = _gamma(mu_r + 2.0)
+    gam_mur4 = _gamma(mu_r + 4.0)
+    gam_mur7 = _gamma(7.0 + mu_r)
+    ni_in_t = impose_max_total_ni(ni_in, inv_rho)
+    has_i = qi_in >= QSMALL
+    ni_in_t = jnp.where(has_i, jnp.maximum(ni_in_t, NSMALL), ni_in_t)
+    nr_in_t = jnp.where(has_i, jnp.maximum(nr_in_dsd, NSMALL), nr_in_dsd)
+    qm_in2, bm_in2, rhop = bulk_rho_rime(qi_in, qm_in, bm_in)
+    qm_in_idx = jnp.where(has_i, qm_in2, qm_in)
+
+    dumi, dumjj, dumii, dum1, dum4, dum5 = tbl.indices_1a(
+        jnp.maximum(qi_in, 1e-300), jnp.maximum(ni_in_t, NSMALL),
+        qm_in_idx, rhop)
+    # all 7 ice-table entries read at the same fractional position in ONE
+    # batched contraction (1-based table indices 2,3,4,5,7,8,10)
+    (tv_qi_fallspd, tv_ni_selfcol, tv_qc2qi_col, tv_qi2qr_melt,
+     tv_ni_lammax, tv_ni_lammin, tv_qi2qr_vent) = (
+        jnp.where(has_i, v, 0.0) for v in tbl.access_ice_table_multi(
+            ice_tab, (1, 2, 3, 4, 6, 7, 9), dum1, dum4, dum5))
+    dumj, dum3 = tbl.indices_1b(qr_in, nr_in_t)
+    has_ir = has_i & (qr_in >= QSMALL)
+    tv_nr_col, tv_qr2qi_col = (
+        jnp.where(has_ir, v, 0.0) for v in tbl.access_collect_table_multi(
+            coll_tab, (0, 1), dum1, dum3, dum4, dum5))
+
+    # rain-evap ventilation table (:2358-2410)
+    safe_l = jnp.maximum(lamr, 1e-300)
+    dumii3, dumjj3, rdumii3, rdumjj3 = tbl.indices_3(mu_r, safe_l)
+    vn_t, vm_t, revap_t = (jnp.asarray(a) for a in tbl.build_rain_tables())
+    revap_val = tbl.access_rain_table(revap_t, dumii3, dumjj3, rdumii3,
+                                      rdumjj3)
+    loc = locals()
+    return {k: loc[k] for k in _PART2_TV_NAMES}
+
+
+def _part2_core(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
+                inv_cl, inv_ci, inv_cr, qv_prev, t_prev, st, tv,
+                ccn_mode="prescribed"):
+    """Stage B of p3_main_part2: the ENTIRE process-rate / conservation /
+    prognostic-update chain — purely pointwise (no reductions, stencils or
+    table gathers), so on TPU the whole chain can execute as ONE Pallas
+    kernel that reads each operand once (see p3_main_part2). ``tv`` is
+    _part2_tables' output dict."""
     inv_dt = 1.0 / dt
     lv, ls, lf = C.latent_heat_vapor, C.latent_heat_sublim, C.latent_heat_fusion
-    ice_tab, coll_tab = (jnp.asarray(a) for a in tbl.load_ice_tables())
 
     t = st["t"]
     rho, inv_rho = st["rho"], st["inv_rho"]
@@ -236,6 +315,14 @@ def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
     qv_sat_l, qv_sat_i, sup_i = st["qv_sat_l"], st["qv_sat_i"], st["sup_i"]
     rhofaci, acn = st["rhofaci"], st["acn"]
     qc_in, qr_in, qi_in, qm_in, nc_in, nr_in, ni_in, bm_in = st["inc"]
+    mu_r, lamr = tv["mu_r"], tv["lamr"]
+    cdistr, logn0r = tv["cdistr"], tv["logn0r"]
+    revap_val = tv["revap_val"]
+    tv_qi_fallspd, tv_ni_selfcol = tv["tv_qi_fallspd"], tv["tv_ni_selfcol"]
+    tv_qc2qi_col, tv_qi2qr_melt = tv["tv_qc2qi_col"], tv["tv_qi2qr_melt"]
+    tv_ni_lammax, tv_ni_lammin = tv["tv_ni_lammax"], tv["tv_ni_lammin"]
+    tv_qi2qr_vent = tv["tv_qi2qr_vent"]
+    tv_nr_col, tv_qr2qi_col = tv["tv_nr_col"], tv["tv_qr2qi_col"]
 
     # time/space physical variables (:3538-3585)
     mu = 1.496e-6 * t ** 1.5 / (t + 120.0)
@@ -252,36 +339,21 @@ def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
                               0.001 + (t - 253.15) * (0.3 - 0.001) / 20.0,
                               0.3))
 
-    # DSDs (:626-632)
-    nc_in, mu_c, lamc, cdist, cdist1 = cloud_dsd(qc_in, nc_in, rho)
+    # DSDs (:626-632) — computed in _part2_tables
+    nc_in = tv["nc_in_dsd"]
+    mu_c, lamc = tv["mu_c"], tv["lamc"]
+    cdist, cdist1 = tv["cdist"], tv["cdist1"]
     nc = jnp.where(qc_in >= QSMALL, nc_in * cld_frac_l, nc)
-    nr_in, mu_r, lamr, cdistr, logn0r = rain_dsd(qr_in, nr_in)
-    nr = jnp.where(qr_in >= QSMALL, nr_in * cld_frac_r, nr)
+    nr = jnp.where(qr_in >= QSMALL, tv["nr_in_dsd"] * cld_frac_r, nr)
 
-    ni_in = impose_max_total_ni(ni_in, inv_rho)
     has_i = qi_in >= QSMALL
-    ni_in = jnp.where(has_i, jnp.maximum(ni_in, NSMALL), ni_in)
-    nr_in = jnp.where(has_i, jnp.maximum(nr_in, NSMALL), nr_in)
-    qm_in2, bm_in2, rhop = bulk_rho_rime(qi_in, qm_in, bm_in)
-    qm_in = jnp.where(has_i, qm_in2, qm_in)
-    bm_in = jnp.where(has_i, bm_in2, bm_in)
+    has_ir = has_i & (qr_in >= QSMALL)
+    nr_in = tv["nr_in_t"]
+    ni_in = tv["ni_in_t"]
+    qm_in = jnp.where(has_i, tv["qm_in2"], qm_in)
+    bm_in = jnp.where(has_i, tv["bm_in2"], bm_in)
     qm = jnp.where(has_i, qm_in * cld_frac_i, qm)
     bm = jnp.where(has_i, bm_in * cld_frac_i, bm)
-
-    dumi, dumjj, dumii, dum1, dum4, dum5 = tbl.indices_1a(
-        jnp.maximum(qi_in, 1e-300), jnp.maximum(ni_in, NSMALL),
-        qm_in, rhop)
-    # all 7 ice-table entries read at the same fractional position in ONE
-    # batched contraction (1-based table indices 2,3,4,5,7,8,10)
-    (tv_qi_fallspd, tv_ni_selfcol, tv_qc2qi_col, tv_qi2qr_melt,
-     tv_ni_lammax, tv_ni_lammin, tv_qi2qr_vent) = (
-        jnp.where(has_i, v, 0.0) for v in tbl.access_ice_table_multi(
-            ice_tab, (1, 2, 3, 4, 6, 7, 9), dum1, dum4, dum5))
-    dumj, dum3 = tbl.indices_1b(qr_in, nr_in)
-    has_ir = has_i & (qr_in >= QSMALL)
-    tv_nr_col, tv_qr2qi_col = (
-        jnp.where(has_ir, v, 0.0) for v in tbl.access_collect_table_multi(
-            coll_tab, (0, 1), dum1, dum3, dum4, dum5))
     # lambda limiters on ni (:677-678)
     ni_in = jnp.where(has_i, jnp.minimum(ni_in, tv_ni_lammax * ni_in), ni_in)
     ni_in = jnp.where(has_i, jnp.maximum(ni_in, tv_ni_lammin * ni_in), ni_in)
@@ -313,7 +385,7 @@ def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
 
     # --- ice_melting (:2211-2256)
     qsat0 = qv_sat(jnp.full_like(t, C.T_zerodegc), pres, False)
-    vent = tv_qi2qr_melt + tv_qi2qr_vent * jnp.cbrt(sc) * \
+    vent = tv_qi2qr_melt + tv_qi2qr_vent * _cbrt(sc) * \
         jnp.sqrt(rhofaci * rho / mu)
     melt = has_i & (t > C.T_zerodegc)
     qi2qr_melt = jnp.where(melt, jnp.maximum(
@@ -350,8 +422,10 @@ def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
     rimed = (qccol >= QSMALL) & (t < C.T_zerodegc)
     vtrmi1 = jnp.where(rimed, tv_qi_fallspd * rhofaci, 0.0)
     iTc = 1.0 / jnp.minimum(-0.001, t - C.T_zerodegc)
-    vt_qc = acn * _gamma(4.0 + C.bcn + mu_c) / \
-        (jnp.maximum(lamc, 1e-300) ** C.bcn * _gamma(mu_c + 4.0))
+    # Gamma(mu_c+6)/Gamma(mu_c+4) == (mu_c+5)(mu_c+4) exactly (bcn=2);
+    # keeps the Pallas core free of lgamma (no Mosaic lowering)
+    vt_qc = acn * (mu_c + 5.0) * (mu_c + 4.0) / \
+        jnp.maximum(lamc, 1e-300) ** C.bcn
     d_c = (mu_c + 4.0) / jnp.maximum(lamc, 1e-300)
     v_imp = jnp.abs(vtrmi1 - vt_qc)
     Ri = jnp.clip(-0.5e6 * d_c * v_imp * iTc, 1.0, 12.0)
@@ -364,9 +438,14 @@ def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
     imm_c = (qc_in >= QSMALL) & (t <= C.T_rainfrz)
     dum_if = jnp.exp(C.aimm * (C.T_zerodegc - t))
     dum2_if = (1.0 / jnp.maximum(lamc, 1e-300)) ** 3
-    qc2qi_hetero = jnp.where(imm_c, C.cons6 * cdist1 * _gamma(7.0 + mu_c) *
+    # cdist1*Gamma(7+mu_c) == nc_in * prod_{k=1..6}(mu_c+k) exactly
+    # (cdist1 = nc_in/Gamma(mu_c+1)); likewise for Gamma(mu_c+4)
+    poly6 = ((mu_c + 1.0) * (mu_c + 2.0) * (mu_c + 3.0) *
+             (mu_c + 4.0) * (mu_c + 5.0) * (mu_c + 6.0))
+    poly3 = (mu_c + 1.0) * (mu_c + 2.0) * (mu_c + 3.0)
+    qc2qi_hetero = jnp.where(imm_c, C.cons6 * nc_in * poly6 *
                              dum_if * dum2_if ** 2, 0.0)
-    nc2ni_immers = jnp.where(imm_c, C.cons5 * cdist1 * _gamma(mu_c + 4.0) *
+    nc2ni_immers = jnp.where(imm_c, C.cons5 * nc_in * poly3 *
                              dum_if * dum2_if, 0.0)
 
     # --- rain_immersion_freezing (:2540-2573)
@@ -374,21 +453,17 @@ def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
     safe_l = jnp.maximum(lamr, 1e-300)
     safe_cd = jnp.maximum(cdistr, 1e-300)
     qr2qi_immers = jnp.where(imm_r, C.cons6 * jnp.exp(
-        jnp.log(safe_cd) + jnp.log(_gamma(7.0 + mu_r)) -
+        jnp.log(safe_cd) + jnp.log(tv["gam_mur7"]) -
         6.0 * jnp.log(safe_l)) * dum_if, 0.0)
     nr2ni_immers = jnp.where(imm_r, C.cons5 * jnp.exp(
-        jnp.log(safe_cd) + jnp.log(_gamma(mu_r + 4.0)) -
+        jnp.log(safe_cd) + jnp.log(tv["gam_mur4"]) -
         3.0 * jnp.log(safe_l)) * dum_if, 0.0)
 
-    # --- rain evaporation (:2358-2410, 3383-3536)
-    dumii3, dumjj3, rdumii3, rdumjj3 = tbl.indices_3(mu_r, safe_l)
-    vn_t, vm_t, revap_t = (jnp.asarray(a) for a in tbl.build_rain_tables())
-    revap_val = tbl.access_rain_table(revap_t, dumii3, dumjj3, rdumii3,
-                                      rdumjj3)
+    # --- rain evaporation (:2358-2410, 3383-3536); revap_val from stage A
     has_r = qr_in >= QSMALL
     epsr = jnp.where(has_r, 2.0 * np.pi * cdistr * rho * dv *
-                     (C.f1r * _gamma(mu_r + 2.0) / safe_l +
-                      C.f2r * jnp.sqrt(rho / mu) * jnp.cbrt(sc) * revap_val),
+                     (C.f1r * tv["gam_mur2"] / safe_l +
+                      C.f2r * jnp.sqrt(rho / mu) * _cbrt(sc) * revap_val),
                      0.0)
     epsc = jnp.where(qc_in >= QSMALL, 2.0 * np.pi * rho * dv * cdist, 0.0)
     del epsc  # (qc condensation handled by macrophysics; kept for parity)
@@ -406,7 +481,7 @@ def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
                     (1.0 + ls * C.inv_cp * dqsdt) / abi * epsi_tot, A_c)
     tiny_r = (qr_in < 1e-12) & (qv / qv_sat_l < 0.999)
     dt_tau = dt / tau_eff
-    tsw = -jnp.expm1(-dt_tau) / dt_tau
+    tsw = -_expm1(-dt_tau) / dt_tau
     tau_r = 1.0 / jnp.maximum(epsr, 1e-300)
     equil = -A_c / ab * tau_eff / tau_r
     instant = -ssat_r / (ab * tau_r)
@@ -459,7 +534,7 @@ def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
 
     # --- rain_self_collection (:2705-2747)
     rsc = qr_in >= QSMALL
-    dum2_rsc = jnp.cbrt(qr_in / (np.pi * C.rho_h2o *
+    dum2_rsc = _cbrt(qr_in / (np.pi * C.rho_h2o *
                                  jnp.maximum(nr_in, 1e-300)))
     dum_rsc = jnp.where(dum2_rsc < 280e-6, 1.0,
                         2.0 - jnp.exp(2300.0 * (dum2_rsc - 280e-6)))
@@ -669,6 +744,95 @@ def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
                  vap_ice_exchange=qv2qi_depos_tend,
                  liq_ice_exchange=liq_ice_exchange)
     return out, diags
+
+
+_PART2_ST_KEYS = ("t", "rho", "inv_rho", "qv", "th", "qc", "nc", "qr",
+                  "nr", "qi", "ni", "qm", "bm", "qv_sat_l", "qv_sat_i",
+                  "sup_i", "rhofaci", "acn")
+_PART2_OUT_KEYS = ("qv", "th", "qc", "nc", "qr", "nr", "qi", "ni", "qm",
+                   "bm", "mu_c", "lamc")
+_PART2_DIAG_KEYS = ("qv2qi_depos_tend", "precip_total_tend", "nevapr",
+                    "qr_evap_tend", "vap_liq_exchange", "vap_ice_exchange",
+                    "liq_ice_exchange")
+
+
+def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
+                  inv_cl, inv_ci, inv_cr, ni_activated, inv_qc_relvar,
+                  qv_prev, t_prev, st, ccn_mode="prescribed",
+                  use_pallas=None):
+    """All microphysical process rates + prognostic updates
+    (micro_p3.F90 p3_main_part2:483-975). ``st`` is part1's output dict;
+    returns an updated dict + diagnostics.
+
+    Split into _part2_tables (index walks + MXU table contractions) and
+    the purely pointwise _part2_core. On TPU/f32 the core runs as ONE
+    Pallas kernel over column blocks (use_pallas; PAM_P3_PALLAS=0
+    disables): XLA otherwise splits the chain into ~100 fusions whose
+    intermediate process-rate arrays each make an HBM round trip — one
+    kernel reads each operand once. ni_activated/inv_qc_relvar are
+    accepted for signature parity (unreachable/identity under the PAM
+    flag configuration, see PARITY.md oracle notes)."""
+    import os as _os
+    tv = _part2_tables(st)
+    if use_pallas is None:
+        # measured on TPU v5e (PERF.md): the monolithic kernel runs the
+        # bench step at 18.0 ms vs 14.8 ms for the XLA path — the chain is
+        # transcendental-bound, XLA's scheduling across ~100 fusions beats
+        # one serialized kernel at VMEM-sized blocks. Default OFF; kept as
+        # an opt-in (PAM_P3_PALLAS=1) measured experiment.
+        use_pallas = (_os.environ.get("PAM_P3_PALLAS", "0") == "1" and
+                      jax.default_backend() == "tpu" and
+                      st["qc"].dtype == jnp.float32 and
+                      st["qc"].ndim == 2)
+    if not use_pallas:
+        return _part2_core(dt, pres, inv_exner, cld_frac_l, cld_frac_i,
+                           cld_frac_r, inv_cl, inv_ci, inv_cr, qv_prev,
+                           t_prev, st, tv, ccn_mode)
+
+    from jax.experimental import pallas as pl
+    import functools as _ft
+
+    n_st = len(_PART2_ST_KEYS)
+    arrs = ([pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
+             inv_cl, inv_ci, inv_cr, qv_prev, t_prev]
+            + [st[k] for k in _PART2_ST_KEYS]
+            + list(st["inc"])
+            + [tv[k] for k in _PART2_TV_NAMES])
+    n_in = len(arrs)
+    rows, nzc = arrs[0].shape
+    n_out = len(_PART2_OUT_KEYS) + 8 + len(_PART2_DIAG_KEYS)
+
+    def kernel(*refs):
+        ins, outs = refs[:n_in], refs[n_in:]
+        vals = [r[...] for r in ins]
+        (pres_, invex_, cl_, ci_, cr_, icl_, ici_, icr_, qvp_,
+         tp_) = vals[:10]
+        stv = dict(zip(_PART2_ST_KEYS, vals[10:10 + n_st]))
+        stv["inc"] = tuple(vals[10 + n_st:10 + n_st + 8])
+        tvv = dict(zip(_PART2_TV_NAMES, vals[10 + n_st + 8:]))
+        o, d = _part2_core(dt, pres_, invex_, cl_, ci_, cr_, icl_, ici_,
+                           icr_, qvp_, tp_, stv, tvv, ccn_mode)
+        res = ([o[k] for k in _PART2_OUT_KEYS] + list(o["inc"])
+               + [d[k] for k in _PART2_DIAG_KEYS])
+        for r, v in zip(outs, res):
+            r[...] = v
+
+    # VMEM: the chain holds ~100 live (block, nz) f32 values; 128 rows
+    # keeps the scoped allocation well under the 16M limit
+    block = min(rows, 128)
+    out = pl.pallas_call(
+        kernel, grid=(pl.cdiv(rows, block),),
+        in_specs=[pl.BlockSpec((block, nzc), lambda i: (i, 0))] * n_in,
+        out_specs=[pl.BlockSpec((block, nzc), lambda i: (i, 0))] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((rows, nzc), arrs[0].dtype)]
+        * n_out)(*arrs)
+    o = dict(st)
+    k_o = len(_PART2_OUT_KEYS)
+    o.update(dict(zip(_PART2_OUT_KEYS, out[:k_o])))
+    o["inc"] = tuple(out[k_o:k_o + 8])
+    o["mu_r"], o["lamr"] = tv["mu_r"], tv["lamr"]
+    diags = dict(zip(_PART2_DIAG_KEYS, out[k_o + 8:]))
+    return o, diags
 
 
 # ------------------------------------------------------- homogeneous freezing
