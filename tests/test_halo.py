@@ -271,3 +271,25 @@ def test_explicit_collective_count_flat_in_shards(mmf_spam_si):
         # (observed: one all-reduce pair fuses at 8 shards), but growth
         # with N would mean the schedule degrades at scale
         assert vals[0] >= vals[1] >= vals[2], (op, vals)
+
+
+def test_explicit_crm_step_p3_shoc_matches_unsharded():
+    """The PRODUCTION physics stack under explicit x-sharding: P3's
+    staged table contractions, the in-cloud-carrying sedimentation loop
+    and SHOC's batched solves must all shard transparently (the physics
+    wrappers derive shapes from the arrays, not the coupler dims)."""
+    from pam_tpu.driver.mmf import setup_supercell_mmf
+    from pam_tpu.modules import gcm_forcing
+    drv, state = setup_supercell_mmf(nx=16, ny=1, nz=12, nens=8,
+                                     xlen=32000.0, ylen=64000.0,
+                                     zlen=20000.0, micro="p3", sgs="shoc",
+                                     dt_gcm=80.0, dt_crm_phys=20.0,
+                                     dycore="spam")
+    state = gcm_forcing.compute_gcm_forcing_tendencies(drv.coupler, state,
+                                                       drv.dt_gcm)
+    ref = jax.jit(drv.crm_phys_step)(state)
+    mesh = make_mesh(n_ens_shards=2, n_x_shards=4)
+    step, place = sharded_crm_step(drv, mesh)
+    out = step(place(state))
+    _compare(ref, out, keys=("temp", "water_vapor", "cloud_water", "rain",
+                             "ice", "tke"))
