@@ -790,7 +790,6 @@ def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
                            t_prev, st, tv, ccn_mode)
 
     from jax.experimental import pallas as pl
-    import functools as _ft
 
     n_st = len(_PART2_ST_KEYS)
     arrs = ([pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
