@@ -7,9 +7,14 @@ whole-array JAX ops: every per-level branch becomes a mask, the scalar
 lookup-table walks become batched gathers (pam_tpu.physics.p3.tables), and
 the data-dependent sedimentation substepping runs as ``lax.while_loop``.
 
-Array convention INSIDE this module: (..., nz) with k=0 = model TOP
-(E3SM/P3-internal orientation; the coupler wrapper flips). All q/n are
-dry mixing ratios.
+Array convention INSIDE this module: (nz, ...batch) with k=0 = model TOP
+(E3SM/P3-internal orientation; the coupler wrapper flips) and z the
+LEADING axis — the TPU-native column layout: the batch axis (ens-minor)
+rides the 128-lane dimension unpadded and the dycore->column conversion
+is a layout relabel, not a transpose (PERF.md round-4 item). The process
+chains (parts 1/2/3, homogeneous freezing) are pointwise and
+shape-agnostic; only sedimentation and the wrapper are axis-aware. All
+q/n are dry mixing ratios.
 """
 
 from __future__ import annotations
@@ -798,7 +803,7 @@ def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
             + list(st["inc"])
             + [tv[k] for k in _PART2_TV_NAMES])
     n_in = len(arrs)
-    rows, nzc = arrs[0].shape
+    nzc, ncols = arrs[0].shape                  # z-leading column layout
     n_out = len(_PART2_OUT_KEYS) + 8 + len(_PART2_DIAG_KEYS)
 
     def kernel(*refs):
@@ -816,14 +821,14 @@ def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
         for r, v in zip(outs, res):
             r[...] = v
 
-    # VMEM: the chain holds ~100 live (block, nz) f32 values; 128 rows
+    # VMEM: the chain holds ~100 live (nz, block) f32 values; 256 lanes
     # keeps the scoped allocation well under the 16M limit
-    block = min(rows, 128)
+    block = min(ncols, 256)
     out = pl.pallas_call(
-        kernel, grid=(pl.cdiv(rows, block),),
-        in_specs=[pl.BlockSpec((block, nzc), lambda i: (i, 0))] * n_in,
-        out_specs=[pl.BlockSpec((block, nzc), lambda i: (i, 0))] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((rows, nzc), arrs[0].dtype)]
+        kernel, grid=(pl.cdiv(ncols, block),),
+        in_specs=[pl.BlockSpec((nzc, block), lambda i: (0, i))] * n_in,
+        out_specs=[pl.BlockSpec((nzc, block), lambda i: (0, i))] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((nzc, ncols), arrs[0].dtype)]
         * n_out)(*arrs)
     o = dict(st)
     k_o = len(_PART2_OUT_KEYS)
@@ -944,7 +949,8 @@ def p3_main(qc, nc, qr, nr, qv, th, qi, qm, ni, bm, pres, dz, nc_nuceat_tend,
             nccn_prescribed=None, ccn_mode="prescribed"):
     """Full P3 step over a batch of columns (micro_p3.F90 p3_main:1140-1507).
 
-    All arrays (ncol, nz) with k=0 = TOP; q/n are DRY mixing ratios.
+    All arrays (nz, ncol) — z LEADING, k=0 = TOP; q/n are DRY mixing
+    ratios.
     Sequence: part1 -> part2 (process rates) -> sedimentation ->
     homogeneous freezing -> part3 (:1363, 1380, 1426-1451, 1454, 1460).
 

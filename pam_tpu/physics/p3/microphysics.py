@@ -70,13 +70,19 @@ def init_state(coupler: Coupler, state):
 
 
 def _to_cols(a, nz):
-    """(nens, nz, ny, nx) -> (ncol, nz) with k flipped to top-down."""
-    return jnp.moveaxis(a, 1, -1).reshape(-1, nz)[:, ::-1]
+    """(nens, nz, ny, nx) -> (nz, ncol) with k flipped to top-down.
+
+    z-major / ensemble-minor column layout: ncol flattens (ny, nx, nens)
+    with nens minor, so the transpose from the dycore's (nens, nz, ny, nx)
+    is a layout RELABEL of the z-major/ens-minor physical layout XLA
+    already assigns those fields (PERF.md round-4: the Kessler precedent),
+    and column arrays tile the 128-lane axis with no nz padding."""
+    return jnp.transpose(a, (1, 2, 3, 0)).reshape(nz, -1)[::-1]
 
 
 def _from_cols(a, shape):
     nens, nz, ny, nx = shape
-    return jnp.moveaxis(a[:, ::-1].reshape(nens, ny, nx, nz), -1, 1)
+    return jnp.transpose(a[::-1].reshape(nz, ny, nx, nens), (3, 0, 1, 2))
 
 
 def _to_cols_batch(arrays, nz):
@@ -85,16 +91,17 @@ def _to_cols_batch(arrays, nz):
     costs ~2 layout kernels each; the unstacking slices fuse into the
     consumers)."""
     st = jnp.stack(arrays)                     # (F, nens, nz, ny, nx)
-    c = jnp.moveaxis(st, 2, -1).reshape(st.shape[0], -1, nz)[..., ::-1]
+    c = jnp.transpose(st, (0, 2, 3, 4, 1)).reshape(st.shape[0], nz, -1)
+    c = c[:, ::-1]
     return [c[i] for i in range(st.shape[0])]
 
 
 def _from_cols_batch(arrays, shape):
-    """Inverse of :func:`_to_cols_batch` for many (ncol, nz) fields."""
+    """Inverse of :func:`_to_cols_batch` for many (nz, ncol) fields."""
     nens, nz, ny, nx = shape
-    st = jnp.stack(arrays)                     # (F, ncol, nz)
-    r = jnp.moveaxis(st[..., ::-1].reshape(st.shape[0], nens, ny, nx, nz),
-                     -1, 2)
+    st = jnp.stack(arrays)                     # (F, nz, ncol)
+    r = jnp.transpose(st[:, ::-1].reshape(st.shape[0], nz, ny, nx, nens),
+                      (0, 4, 1, 2, 3))
     return [r[i] for i in range(st.shape[0])]
 
 
@@ -191,7 +198,9 @@ class P3Micro:
         out["liq_ice_exchange_out"] = backs[len(out_keys) + 1]
         out["vap_liq_exchange_out"] = backs[len(out_keys) + 2]
         out["vap_ice_exchange_out"] = backs[len(out_keys) + 3]
-        prec_shape = (nens, ny, nx)
-        out["precip_liq_surf_out"] = st["precip_liq_surf"].reshape(prec_shape)
-        out["precip_ice_surf_out"] = st["precip_ice_surf"].reshape(prec_shape)
+        def _sfc(a):
+            # (ncol,) ordered (ny, nx, nens) -> (nens, ny, nx)
+            return jnp.transpose(a.reshape(ny, nx, nens), (2, 0, 1))
+        out["precip_liq_surf_out"] = _sfc(st["precip_liq_surf"])
+        out["precip_ice_surf_out"] = _sfc(st["precip_ice_surf"])
         return out

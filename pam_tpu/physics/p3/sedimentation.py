@@ -29,9 +29,14 @@ Each species' substep body lives in ONE module-level helper
 per-species loops and the fused `combined_sedimentation` loop, so the two
 paths cannot diverge.
 
-Orientation: (ncol, nz) with k=0 = TOP. Falling flux moves k -> k+1;
-flux above the top cell is zero; the flux leaving k=nz-1 accumulates as
-surface precipitation.
+Orientation: (nz, ...batch) with k=0 = TOP and z the LEADING axis (the
+TPU-native column layout: the batch/ensemble axis stays minor, so column
+arrays tile the 128-lane dimension with no padding and the wrapper's
+dycore->column conversion is a layout relabel instead of a transpose).
+Falling flux moves k -> k+1; flux above the top cell is zero; the flux
+leaving k=nz-1 accumulates as surface precipitation. Per-column scalars
+(dt_left, prt) have the batch shape and broadcast naturally against
+(nz, ...batch).
 """
 
 from __future__ import annotations
@@ -54,14 +59,13 @@ def _upwind(qs, Vs, rho, inv_rho, inv_dz, dt_sub):
     surface precip accumulation)."""
     outs = []
     flux_q = None
-    dts = dt_sub[:, None]
     for q, V in zip(qs, Vs):
         flux = V * q * rho
         if flux_q is None:
             flux_q = flux
-        fup = jnp.concatenate([jnp.zeros_like(flux[:, :1]), flux[:, :-1]],
-                              axis=1)
-        outs.append(q + (fup - flux) * inv_dz * dts * inv_rho)
+        fup = jnp.concatenate([jnp.zeros_like(flux[:1]), flux[:-1]],
+                              axis=0)
+        outs.append(q + (fup - flux) * inv_dz * dt_sub * inv_rho)
     return outs, flux_q
 
 
@@ -82,7 +86,7 @@ def _cloud_substep(qc, nc, qc_in, nc_in, dt_left, prt, rho, inv_rho,
                    cld_frac_l, acn, inv_dz, do_predict_nc):
     """One adaptive substep of cloud sedimentation (:3587-3747).
     Returns (qc, nc, qc_in, nc_in, dt_left, prt)."""
-    act = (dt_left > 1.0e-4)[:, None]
+    act = dt_left > 1.0e-4
     has = (qc_in > QSMALL) & act
     nc_in2, mu_c, lamc, _, _ = cloud_dsd(qc_in, nc_in, rho)
     nc_new = jnp.where(has, nc_in2 * cld_frac_l, nc)
@@ -91,7 +95,7 @@ def _cloud_substep(qc, nc, qc_in, nc_in, dt_left, prt, rho, inv_rho,
                      _gamma(mu_c + 4.0), 0.0)
     v_nc = jnp.where(has, acn * _gamma(1.0 + C.bcn + mu_c) * dum /
                      _gamma(mu_c + 1.0), 0.0)
-    co_max = jnp.max(v_qc * dt_left[:, None] * inv_dz, axis=1)
+    co_max = jnp.max(v_qc * dt_left * inv_dz, axis=0)
     dts = _dt_sub(co_max, dt_left)
     if do_predict_nc:
         (qc2, nc2), flux_q = _upwind([qc, nc_new], [v_qc, v_nc],
@@ -104,14 +108,14 @@ def _cloud_substep(qc, nc, qc_in, nc_in, dt_left, prt, rho, inv_rho,
     qc_in2 = jnp.where(act, qc2 / cld_frac_l, qc_in)
     nc_in2b = jnp.where(act, nc2 / cld_frac_l, nc_in)
     return (qc2, nc2, qc_in2, nc_in2b, dt_left - dts,
-            prt + flux_q[:, -1] * dts)
+            prt + flux_q[-1] * dts)
 
 
 def _rain_substep(qr, nr, qr_in, nr_in, dt_left, prt, rho, inv_rho,
                   cld_frac_r, rhofacr, inv_dz, vn_t, vm_t):
     """One adaptive substep of rain sedimentation (:3749-3870).
     Returns (qr, nr, qr_in, nr_in, dt_left, prt)."""
-    act = (dt_left > 1.0e-4)[:, None]
+    act = dt_left > 1.0e-4
     has = (qr_in > QSMALL) & act
     nr_in2, mu_r, lamr, _, _ = rain_dsd(qr_in, nr_in)
     nr_new = jnp.where(has, nr_in2 * cld_frac_r, nr)
@@ -119,21 +123,21 @@ def _rain_substep(qr, nr, qr_in, nr_in, dt_left, prt, rho, inv_rho,
     vm_val, vn_val = tbl.access_rain_table_multi((vm_t, vn_t), rii, rjj)
     v_qr = jnp.where(has, vm_val * rhofacr, 0.0)
     v_nr = jnp.where(has, vn_val * rhofacr, 0.0)
-    co_max = jnp.max(v_qr * dt_left[:, None] * inv_dz, axis=1)
+    co_max = jnp.max(v_qr * dt_left * inv_dz, axis=0)
     dts = _dt_sub(co_max, dt_left)
     (qr2, nr2), flux_q = _upwind([qr, nr_new], [v_qr, v_nr], rho,
                                  inv_rho, inv_dz, dts)
     qr_in2 = jnp.where(act, qr2 / cld_frac_r, qr_in)
     nr_in2b = jnp.where(act, nr2 / cld_frac_r, nr_in)
     return (qr2, nr2, qr_in2, nr_in2b, dt_left - dts,
-            prt + flux_q[:, -1] * dts)
+            prt + flux_q[-1] * dts)
 
 
 def _ice_substep(qi, ni, qm, bm, qi_in, ni_in, qm_in, bm_in, dt_left, prt,
                  rho, inv_rho, cld_frac_i, rhofaci, inv_dz, ice_tab):
     """One adaptive substep of ice sedimentation (:3911-4065).
     Returns (qi, ni, qm, bm, qi_in, ni_in, qm_in, bm_in, dt_left, prt)."""
-    act = (dt_left > 1.0e-4)[:, None]
+    act = dt_left > 1.0e-4
     has = (qi_in > QSMALL) & act
     ni_in = jnp.maximum(ni_in, NSMALL)
     qm_in2, bm_in2, rhop = bulk_rho_rime(qi_in, qm_in, bm_in)
@@ -151,7 +155,7 @@ def _ice_substep(qi, ni, qm, bm, qi_in, ni_in, qm_in, bm_in, dt_left, prt,
     ni_new = jnp.where(has, ni_in * cld_frac_i, ni)
     v_qit = jnp.where(has, v_q * rhofaci, 0.0)
     v_nit = jnp.where(has, v_n * rhofaci, 0.0)
-    co_max = jnp.max(v_qit * dt_left[:, None] * inv_dz, axis=1)
+    co_max = jnp.max(v_qit * dt_left * inv_dz, axis=0)
     dts = _dt_sub(co_max, dt_left)
     (qi2, ni2, qm2, bm2), flux_q = _upwind(
         [qi, ni_new, qm_new, bm_new],
@@ -161,7 +165,7 @@ def _ice_substep(qi, ni, qm, bm, qi_in, ni_in, qm_in, bm_in, dt_left, prt,
     qm_in2c = jnp.where(act, qm2 / cld_frac_i, qm_in)
     bm_in2c = jnp.where(act, bm2 / cld_frac_i, bm_in)
     return (qi2, ni2, qm2, bm2, qi_in2, ni_in2, qm_in2c, bm_in2c,
-            dt_left - dts, prt + flux_q[:, -1] * dts)
+            dt_left - dts, prt + flux_q[-1] * dts)
 
 
 def _default_inc(pairs):
@@ -195,8 +199,8 @@ def cloud_sedimentation(qc, nc, rho, inv_rho, cld_frac_l, acn, inv_dz, dt,
                     prt=prt)
 
     init = dict(qc=qc, nc=nc, qc_in=qc_in, nc_in=nc_in,
-                dt_left=jnp.zeros_like(qc[:, 0]) + dt,
-                prt=jnp.zeros_like(qc[:, 0]))
+                dt_left=jnp.zeros_like(qc[0]) + dt,
+                prt=jnp.zeros_like(qc[0]))
     out = jax.lax.while_loop(lambda c: jnp.any(c["dt_left"] > 1.0e-4),
                              body, init)
     return out["qc"], out["nc"], out["prt"] * C.inv_rho_h2o / dt
@@ -220,8 +224,8 @@ def rain_sedimentation(qr, nr, rho, inv_rho, rhofacr, cld_frac_r, inv_dz,
                     prt=prt)
 
     init = dict(qr=qr, nr=nr, qr_in=qr_in, nr_in=nr_in,
-                dt_left=jnp.zeros_like(qr[:, 0]) + dt,
-                prt=jnp.zeros_like(qr[:, 0]))
+                dt_left=jnp.zeros_like(qr[0]) + dt,
+                prt=jnp.zeros_like(qr[0]))
     out = jax.lax.while_loop(lambda c: jnp.any(c["dt_left"] > 1.0e-4),
                              body, init)
     return out["qr"], out["nr"], out["prt"] * C.inv_rho_h2o / dt
@@ -249,8 +253,8 @@ def ice_sedimentation(qi, ni, qm, bm, rho, inv_rho, rhofaci, cld_frac_i,
 
     init = dict(qi=qi, ni=ni, qm=qm, bm=bm, qi_in=qi_in, ni_in=ni_in,
                 qm_in=qm_in, bm_in=bm_in,
-                dt_left=jnp.zeros_like(qi[:, 0]) + dt,
-                prt=jnp.zeros_like(qi[:, 0]))
+                dt_left=jnp.zeros_like(qi[0]) + dt,
+                prt=jnp.zeros_like(qi[0]))
     out = jax.lax.while_loop(lambda c: jnp.any(c["dt_left"] > 1.0e-4),
                              body, init)
     return (out["qi"], out["ni"], out["qm"], out["bm"],
@@ -311,10 +315,10 @@ def combined_sedimentation(qc, nc, qr, nr, qi, ni, qm, bm, rho, inv_rho,
                     dtl_c=dtl_c, dtl_r=dtl_r, dtl_i=dtl_i,
                     prt_c=prt_c, prt_r=prt_r, prt_i=prt_i)
 
-    # zeros_like(qc[:, 0]) (not jnp.full) so the carry inherits qc's
+    # zeros_like(qc[0]) (not jnp.full) so the carry inherits qc's
     # varying manual axes under shard_map (scan-vma rule)
-    full = jnp.zeros_like(qc[:, 0]) + dt
-    zero = jnp.zeros_like(qc[:, 0])
+    full = jnp.zeros_like(qc[0]) + dt
+    zero = jnp.zeros_like(qc[0])
     init = dict(qc=qc, nc=nc, qr=qr, nr=nr, qi=qi, ni=ni, qm=qm, bm=bm,
                 qc_in=qc_in, nc_in=nc_in, qr_in=qr_in, nr_in=nr_in,
                 qi_in=qi_in, ni_in=ni_in, qm_in=qm_in, bm_in=bm_in,

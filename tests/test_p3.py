@@ -68,7 +68,8 @@ def _column(ncol=2, nz=30):
     rho = p / (287.042 * T)
     dz = np.full(nz, 500.0)
     exner = (p / 1e5) ** (287.042 / 1004.64)
-    b = lambda a: jnp.asarray(np.broadcast_to(a, (ncol, nz)).copy())
+    b = lambda a: jnp.asarray(
+        np.broadcast_to(np.asarray(a, float)[:, None], (nz, ncol)).copy())
     return zmid, T, p, rho, dz, exner, b
 
 
@@ -79,7 +80,7 @@ def test_p3_main_conserves_water_and_rains():
     qc = np.where((zmid > 1000) & (zmid < 4000), 1.2e-3, 0.0)
     qr = np.where(zmid < 2000, 4e-4, 0.0)
     qi = np.where((zmid > 6000) & (zmid < 10000), 6e-4, 0.0)
-    ones = jnp.ones((ncol, nz))
+    ones = jnp.ones((nz, ncol))
     dt = 60.0
     st, diag = p3_main(
         qc=b(qc), nc=b(np.full(nz, 1e8) / rho), qr=b(qr),
@@ -98,9 +99,11 @@ def test_p3_main_conserves_water_and_rains():
     # rain fell out
     assert float(st["precip_liq_surf"].min()) > 0
     # column water (vapor+liquid+ice mass per area) conserved incl. precip
-    w0 = (np.broadcast_to(qv + qc + qr + qi, (ncol, nz)) * rho * dz).sum(1)
+    w0 = (np.broadcast_to((qv + qc + qr + qi)[:, None], (nz, ncol)) *
+          (rho * dz)[:, None]).sum(0)
     w1 = ((np.asarray(st["qv"]) + np.asarray(st["qc"]) +
-           np.asarray(st["qr"]) + np.asarray(st["qi"])) * rho * dz).sum(1)
+           np.asarray(st["qr"]) + np.asarray(st["qi"])) *
+          (rho * dz)[:, None]).sum(0)
     w1 = w1 + (np.asarray(st["precip_liq_surf"]) +
                np.asarray(st["precip_ice_surf"])) * 1000.0 * dt
     assert np.abs(w1 - w0).max() / w0.max() < 1e-12
@@ -115,7 +118,7 @@ def test_homogeneous_freezing_below_minus40():
     Tcold = np.full(nz, 225.0)  # everywhere below -40C
     exn = (p / 1e5) ** (287.042 / 1004.64)
     qc = np.full(nz, 5e-4)
-    ones = jnp.ones((ncol, nz))
+    ones = jnp.ones((nz, ncol))
     st, _ = p3_main(
         qc=b(qc), nc=b(np.full(nz, 1e8) / rho), qr=0 * ones, nr=0 * ones,
         qv=b(np.full(nz, 1e-5)), th=b(Tcold / exn), qi=0 * ones,
@@ -133,11 +136,11 @@ def test_homogeneous_freezing_below_minus40():
 
 def test_rain_sedimentation_transports_and_conserves():
     ncol, nz = 1, 20
-    rho = jnp.ones((ncol, nz))
-    inv_dz = jnp.full((ncol, nz), 1.0 / 200.0)
-    qr = jnp.zeros((ncol, nz)).at[:, 5].set(1e-3)
-    nr = jnp.zeros((ncol, nz)).at[:, 5].set(1e4)
-    ones = jnp.ones((ncol, nz))
+    rho = jnp.ones((nz, ncol))
+    inv_dz = jnp.full((nz, ncol), 1.0 / 200.0)
+    qr = jnp.zeros((nz, ncol)).at[5].set(1e-3)
+    nr = jnp.zeros((nz, ncol)).at[5].set(1e4)
+    ones = jnp.ones((nz, ncol))
     dt = 300.0
     qr1, nr1, prt = sed.rain_sedimentation(qr, nr, rho, 1.0 / rho, ones,
                                            ones, inv_dz, dt)
@@ -145,7 +148,8 @@ def test_rain_sedimentation_transports_and_conserves():
     qr1_col = float(qr1.sum() * 200.0) + float(prt[0]) * 1000.0 * dt
     assert abs(qr1_col - qr0_col) / qr0_col < 1e-12
     # mass moved downward: center of mass deeper than k=5
-    com = float((qr1 * jnp.arange(nz)).sum() / jnp.maximum(qr1.sum(), 1e-30))
+    com = float((qr1 * jnp.arange(nz)[:, None]).sum() /
+                jnp.maximum(qr1.sum(), 1e-30))
     assert com > 5.0 or float(prt[0]) > 0
     assert float(jnp.min(qr1)) >= 0
 
@@ -208,12 +212,12 @@ def test_combined_sedimentation_matches_separate():
     from pam_tpu.physics.p3 import sedimentation as sed
     rng = np.random.default_rng(2)
     ncol, nz = 16, 40
-    f = lambda s=1.0: jnp.asarray(s * rng.random((ncol, nz)))
+    f = lambda s=1.0: jnp.asarray(s * rng.random((nz, ncol)))
     qc, nc, qr, nr = f(1e-3), f(1e8), f(2e-3), f(1e6)
     qi, ni, qm, bm = f(1e-3), f(1e5), f(5e-4), f(1e-6)
     rho = 1.2 + f(0.2)
     inv_rho = 1.0 / rho
-    ones = jnp.ones((ncol, nz))
+    ones = jnp.ones((nz, ncol))
     acn, rhofacr, rhofaci = f(1e-2), 1.0 + f(0.3), 1.0 + f(0.3)
     inv_dz = 1.0 / (200.0 + f(300.0))
     dt = 20.0
@@ -241,7 +245,7 @@ def test_combined_sedimentation_divergent_substeps():
     from pam_tpu.physics.p3 import sedimentation as sed
     rng = np.random.default_rng(7)
     ncol, nz = 16, 40
-    f = lambda s=1.0: jnp.asarray(s * rng.random((ncol, nz)))
+    f = lambda s=1.0: jnp.asarray(s * rng.random((nz, ncol)))
     qc, nc, qr, nr = f(1e-3), f(1e8), f(4e-3), f(1e6)
     qi, ni, qm, bm = f(2e-3), f(1e5), f(5e-4), f(1e-6)
     rho = 1.2 + f(0.2)

@@ -152,7 +152,7 @@ def test_p3_main_matches_fortran_oracle(name, col):
     dt = 20.0
     st_o, prt_liq_o, prt_ice_o = orc.p3_main_oracle(col, dt)
 
-    jcol = {k: jnp.asarray(v, jnp.float64)[None, :] for k, v in col.items()}
+    jcol = {k: jnp.asarray(v, jnp.float64)[:, None] for k, v in col.items()}
     st_j, diag_j = p3m.p3_main(
         qc=jcol["qc"], nc=jcol["nc"], qr=jcol["qr"], nr=jcol["nr"],
         qv=jcol["qv"], th=jcol["th"], qi=jcol["qi"], qm=jcol["qm"],
@@ -167,7 +167,7 @@ def test_p3_main_matches_fortran_oracle(name, col):
 
     for key in ("qv", "th", "qc", "nc", "qr", "nr", "qi", "ni", "qm",
                 "bm"):
-        got = np.asarray(st_j[key][0])
+        got = np.asarray(st_j[key][:, 0])
         want = st_o[key]
         # atol floors: q fields ~1e-18 (values ~1e-3), n fields scale-aware
         scale = max(1.0, np.abs(want).max())

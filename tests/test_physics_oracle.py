@@ -121,8 +121,9 @@ def _warm_column(qc0, qr0, nc0, dt):
     dz = np.full(nz, 500.0)
     exner = (p / 1.0e5) ** (287.042 / 1004.64)
     qvs = np.asarray(p3m.qv_sat(jnp.asarray(T), jnp.asarray(p), False))
-    ones = jnp.ones((1, nz))
-    b = lambda a: jnp.asarray(np.broadcast_to(a, (1, nz)), jnp.float64)
+    ones = jnp.ones((nz, 1))
+    b = lambda a: jnp.asarray(np.broadcast_to(np.asarray(a, float).reshape(-1, 1),
+                                              (nz, 1)), jnp.float64)
     st, diag = p3m.p3_main(
         qc=b(qc0), nc=b(nc0), qr=b(qr0), nr=b(1e5 / rho), qv=b(qvs),
         th=b(T / exner), qi=0 * ones, qm=0 * ones, ni=0 * ones,
@@ -145,7 +146,7 @@ def test_autoconversion_rate_through_p3_main():
     nc_dsd = _oracle_cloud_dsd2(qc0, nc0, rho)[0]
     assert abs(nc_dsd - nc0) < 1e-6 * nc0
     rate = 1350.0 * qc0 ** 2.47 * (nc0 * 1e-6 * rho) ** (-1.79)
-    dqc = qc0 - float(np.asarray(st["qc"])[0, 2])   # interior level
+    dqc = qc0 - float(np.asarray(st["qc"])[2, 0])   # interior level
     np.testing.assert_allclose(dqc / dt, rate, rtol=0.02)
 
 
@@ -157,7 +158,7 @@ def test_accretion_rate_through_p3_main():
     st, rho = _warm_column(qc0, qr0, nc0, dt)
     auto = 1350.0 * qc0 ** 2.47 * (nc0 * 1e-6 * rho) ** (-1.79)
     accr = 67.0 * (qc0 * qr0) ** 1.15
-    dqc = qc0 - float(np.asarray(st["qc"])[0, 2])
+    dqc = qc0 - float(np.asarray(st["qc"])[2, 0])
     np.testing.assert_allclose(dqc / dt, auto + accr, rtol=0.02)
 
 
