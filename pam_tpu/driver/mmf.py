@@ -84,6 +84,16 @@ class MmfDriver:
         the full ensemble. The only cross-member coupling in a step is
         Kessler's batched rainsplit min, which becomes per-chunk (the same
         documented deviation as KesslerMicro.ens_chunk)."""
+        nens = self.coupler.nens * n_chunks
+        for k, v in state.items():
+            if hasattr(v, "shape") and (v.ndim == 0 or
+                                        v.shape[0] != nens):
+                raise ValueError(
+                    f"crm_phys_step_microbatched: state[{k!r}] has shape "
+                    f"{getattr(v, 'shape', ())}; every leaf must carry the "
+                    f"full ensemble (leading axis {nens} = driver nens "
+                    f"{self.coupler.nens} x n_chunks {n_chunks})")
+
         def split(a):
             return a.reshape((n_chunks, a.shape[0] // n_chunks) +
                              a.shape[1:])

@@ -71,7 +71,13 @@ def kessler_column(theta, qv, qc, qr, rho, z, exner, dt, c: Constants):
     # global CFL-limited sub-step (ref: Microphysics.h:372-390); the min
     # must span the ENTIRE horizontal domain — under an explicit shard_map
     # the local jnp.min is followed by a lax.pmin over the active mesh
-    # axes (comm.pmin_h), matching the reference's full-array minval
+    # axes (comm.pmin_h), matching the reference's full-array minval.
+    # ACCEPTED DEVIATION under explicit *ensemble* sharding: pmin_h spans
+    # only x/y, so each ens shard keeps its OWN rainsplit count — the same
+    # deviation KesslerMicro.ens_chunk makes deliberately (ensemble members
+    # are independent CRMs; only which CRMs share a trip count changes, and
+    # each CRM's own CFL bound is always respected). Covered by
+    # tests/test_halo.py::test_explicit_kessler_rainsplit_ens_varying.
     from ..parallel import comm
     dz_up = z[1:] - z[:-1]
     dt2d = jnp.where(velqr[:-1] > 1.0e-10,

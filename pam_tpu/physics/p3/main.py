@@ -39,11 +39,15 @@ def _gamma(x):
 
 def _expm1(x):
     """Accurate exp(x)-1 via Kahan's formula (exp & log only — jnp.expm1
-    has no Mosaic lowering). Matches expm1 to ulps for all x."""
+    has no Mosaic lowering). Matches expm1 to ulps for all finite results;
+    the overflow branch (exp(x)=inf, x ≳ 709 in f64) is guarded to return
+    inf rather than the inf/inf NaN of the raw formula."""
     u = jnp.exp(x)
     um1 = u - 1.0
     return jnp.where(u == 1.0, x,
-                     jnp.where(um1 == -1.0, -1.0, um1 * x / jnp.log(u)))
+                     jnp.where(um1 == -1.0, -1.0,
+                               jnp.where(jnp.isinf(u), u,
+                                         um1 * x / jnp.log(u))))
 
 
 def _cbrt(x):
@@ -793,6 +797,13 @@ def p3_main_part2(dt, pres, inv_exner, cld_frac_l, cld_frac_i, cld_frac_r,
         return _part2_core(dt, pres, inv_exner, cld_frac_l, cld_frac_i,
                            cld_frac_r, inv_cl, inv_ci, inv_cr, qv_prev,
                            t_prev, st, tv, ccn_mode)
+
+    # the kernel body closes over dt; Pallas cannot capture tracers, so
+    # require a concrete host scalar (it always is in the PAM driver)
+    if isinstance(dt, jax.core.Tracer):
+        raise TypeError("PAM_P3_PALLAS=1 requires dt to be a concrete "
+                        "Python/numpy scalar (the Pallas part2 kernel "
+                        "closes over it); got a JAX tracer")
 
     from jax.experimental import pallas as pl
 

@@ -8,9 +8,13 @@ tridiagonal implicit solve batches every same-matrix system into one
 solve — PCR sweeps on TPU, ``lax.scan`` Thomas on CPU (ops/tridiag.py);
 the PBL Richardson search becomes an argmax over the scan window.
 
-Array convention: (ncol, nlev) with k=0 = model TOP (E3SM orientation;
-``thetal[:, -1]`` is the surface level). Interface arrays are
-(ncol, nlev+1).
+Array convention: (nlev, ncol) with k=0 = model TOP (E3SM orientation;
+``thetal[-1]`` is the surface level) and z the LEADING axis — the
+TPU-native column layout (z-major / ens-minor): the column axis rides the
+128-lane dimension unpadded, per-column surface scalars (ncol,) broadcast
+naturally against (nlev, ncol), and the z-scans (tridiagonal solves)
+run over the leading axis with no moveaxis. Interface arrays are
+(nlev+1, ncol); tracers are (nlev, ncol, ntr).
 """
 
 from __future__ import annotations
@@ -31,30 +35,29 @@ def linear_interp(x1, x2, y1, minthresh):
     """Linear interpolation between mid and interface grids
     (shoc.F90:4576-4659). Direction inferred from shapes; linear
     extrapolation at the ends when going mid -> interface."""
-    km1 = y1.shape[-1]
-    km2 = x2.shape[-1]
+    km1 = y1.shape[0]
+    km2 = x2.shape[0]
     if km2 == km1 + 1:  # mid -> interface
-        slope = (y1[..., 1:] - y1[..., :-1]) / (x1[..., 1:] - x1[..., :-1])
-        interior = y1[..., :-1] + slope * (x2[..., 1:-1] - x1[..., :-1])
-        first = y1[..., :1] + slope[..., :1] * (x2[..., :1] - x1[..., :1])
-        last = y1[..., -2:-1] + slope[..., -1:] * \
-            (x2[..., -1:] - x1[..., -2:-1])
-        y2 = jnp.concatenate([first, interior, last], axis=-1)
+        slope = (y1[1:] - y1[:-1]) / (x1[1:] - x1[:-1])
+        interior = y1[:-1] + slope * (x2[1:-1] - x1[:-1])
+        first = y1[:1] + slope[:1] * (x2[:1] - x1[:1])
+        last = y1[-2:-1] + slope[-1:] * (x2[-1:] - x1[-2:-1])
+        y2 = jnp.concatenate([first, interior, last], axis=0)
     elif km1 == km2 + 1:  # interface -> mid
-        slope = (y1[..., 1:] - y1[..., :-1]) / (x1[..., 1:] - x1[..., :-1])
-        y2 = y1[..., :-1] + slope * (x2 - x1[..., :-1])
+        slope = (y1[1:] - y1[:-1]) / (x1[1:] - x1[:-1])
+        y2 = y1[:-1] + slope * (x2 - x1[:-1])
     else:
         raise ValueError("linear_interp: incompatible level counts")
     return jnp.maximum(y2, minthresh)
 
 
 def shoc_grid(zt_grid, zi_grid, pdel):
-    """Thicknesses + density (shoc.F90:567-641). dz_zi[...,0] is unused
-    (zeroed); dz_zi[...,-1] = zt_grid[...,-1] (surface condition)."""
-    dz_zt = zi_grid[..., :-1] - zi_grid[..., 1:]
-    dz_mid = zt_grid[..., :-1] - zt_grid[..., 1:]
-    dz_zi = jnp.concatenate([jnp.zeros_like(zt_grid[..., :1]), dz_mid,
-                             zt_grid[..., -1:]], axis=-1)
+    """Thicknesses + density (shoc.F90:567-641). dz_zi[0] is unused
+    (zeroed); dz_zi[-1] = zt_grid[-1] (surface condition)."""
+    dz_zt = zi_grid[:-1] - zi_grid[1:]
+    dz_mid = zt_grid[:-1] - zt_grid[1:]
+    dz_zi = jnp.concatenate([jnp.zeros_like(zt_grid[:1]), dz_mid,
+                             zt_grid[-1:]], axis=0)
     rho_zt = (1.0 / C.ggr) * (pdel / dz_zt)
     return dz_zt, dz_zi, rho_zt
 
@@ -72,20 +75,19 @@ def _solve_shared(du, dl, d0, rhs_list, tracers=None):
     trailing dim so the TPU PCR path does ceil(log2 nlev) sweeps total
     instead of 3 sequential scans per field).
 
-    rhs_list: list of (ncol, nlev); tracers: (ncol, nlev, ntr) or None.
+    rhs_list: list of (nlev, ncol); tracers: (nlev, ncol, ntr) or None.
     Returns the solved rhs_list (+ tracers appended when given)."""
     cols = [r[..., None] for r in rhs_list]
     if tracers is not None:
         cols.append(tracers)
-    R = jnp.moveaxis(jnp.concatenate(cols, axis=-1), -2, 0)  # (nlev, ncol, m)
-    L = jnp.moveaxis(dl, -1, 0)[..., None]
-    D = jnp.moveaxis(d0, -1, 0)[..., None]
-    U = jnp.moveaxis(du, -1, 0)[..., None]
+    R = jnp.concatenate(cols, axis=-1)                       # (nlev, ncol, m)
+    L = dl[..., None]
+    D = d0[..., None]
+    U = du[..., None]
     if tridiag.use_pcr(R):
         X = tridiag.pcr(L, D, U, R)
     else:
         X = _thomas_batched(L, D, U, R)
-    X = jnp.moveaxis(X, 0, -2)                               # (ncol, nlev, m)
     out = [X[..., i] for i in range(len(rhs_list))]
     if tracers is not None:
         out.append(X[..., len(rhs_list):])
@@ -126,13 +128,12 @@ def _thomas_batched(L, D, U, R):
 
 def _thomas(du, dl, d0, rhs):
     """Factorize + solve the implicit diffusion tridiagonal system
-    (vd_shoc_decomp/vd_shoc_solve, shoc.F90:3504-3643) via lax.scan."""
+    (vd_shoc_decomp/vd_shoc_solve, shoc.F90:3504-3643) via lax.scan.
+    All arrays z-leading: (nlev, ncol)."""
     # forward factorization: c[k] = d0[k] - (dl[k]/c[k-1])*du[k-1]
-    du_km1 = jnp.concatenate([jnp.zeros_like(du[..., :1]), du[..., :-1]],
-                             axis=-1)
-    xs = (jnp.moveaxis(d0, -1, 0), jnp.moveaxis(dl, -1, 0),
-          jnp.moveaxis(du_km1, -1, 0))
-    c0 = d0[..., 0]
+    du_km1 = jnp.concatenate([jnp.zeros_like(du[:1]), du[:-1]], axis=0)
+    xs = (d0, dl, du_km1)
+    c0 = d0[0]
 
     def fwd_scan(carry, x):
         d0k, dlk, dukm1 = x
@@ -146,7 +147,7 @@ def _thomas(du, dl, d0, rhs):
     l = jnp.concatenate([jnp.zeros_like(c0)[None], ls], axis=0)
 
     # forward substitution: y[k] = rhs[k] - l[k]*y[k-1]
-    r = jnp.moveaxis(rhs, -1, 0)
+    r = rhs
 
     def fsub(y_prev, x):
         rk, lk = x
@@ -155,7 +156,7 @@ def _thomas(du, dl, d0, rhs):
 
     _, ys = jax.lax.scan(fsub, jnp.zeros_like(r[0]), (r, l))
     # backward: x[n-1] = y[n-1]/c[n-1]; x[k] = (y[k]-du[k]*x[k+1])/c[k]
-    duv = jnp.moveaxis(du, -1, 0)
+    duv = du
 
     def bsub(x_next, x):
         yk, duk, ck = x
@@ -164,20 +165,20 @@ def _thomas(du, dl, d0, rhs):
 
     _, out_rev = jax.lax.scan(bsub, jnp.zeros_like(r[0]),
                               (ys[::-1], duv[::-1], c[::-1]))
-    return jnp.moveaxis(out_rev[::-1], 0, -1)
+    return out_rev[::-1]
 
 
 def vd_shoc_matrix(kv_term, tmpi, rdp_zt, dtime, flux):
     """Build (du, dl, d0) for the implicit solve (vd_shoc_decomp,
     shoc.F90:3504-3587). ``flux`` is the implicit surface drag ksrf."""
-    nlev = rdp_zt.shape[-1]
-    core = -kv_term[..., 1:nlev] * tmpi[..., 1:nlev]     # (ncol, nlev-1)
-    du = jnp.concatenate([core * rdp_zt[..., :-1],
-                          jnp.zeros_like(rdp_zt[..., :1])], axis=-1)
-    dl = jnp.concatenate([jnp.zeros_like(rdp_zt[..., :1]),
-                          core * rdp_zt[..., 1:]], axis=-1)
+    nlev = rdp_zt.shape[0]
+    core = -kv_term[1:nlev] * tmpi[1:nlev]               # (nlev-1, ncol)
+    du = jnp.concatenate([core * rdp_zt[:-1],
+                          jnp.zeros_like(rdp_zt[:1])], axis=0)
+    dl = jnp.concatenate([jnp.zeros_like(rdp_zt[:1]),
+                          core * rdp_zt[1:]], axis=0)
     d0 = 1.0 - du - dl
-    d0 = d0.at[..., -1].add(flux * dtime * C.ggr * rdp_zt[..., -1])
+    d0 = d0.at[-1].add(flux * dtime * C.ggr * rdp_zt[-1])
     return du, dl, d0
 
 
@@ -186,7 +187,7 @@ def update_prognostics_implicit(dtime, dz_zt, dz_zi, rho_zt, zt_grid,
                                 wqw_sfc, wtracer_sfc, thetal, qw, tracers,
                                 tke, u_wind, v_wind):
     """Backward-Euler vertical diffusion of all prognostics
-    (shoc.F90:697-849). ``tracers``: (ncol, nlev, ntr) or None."""
+    (shoc.F90:697-849). ``tracers``: (nlev, ncol, ntr) or None."""
     tkh_zi = linear_interp(zt_grid, zi_grid, tkh, 0.0)
     tk_zi = linear_interp(zt_grid, zi_grid, tk, 0.0)
     rho_zi = linear_interp(zt_grid, zi_grid, rho_zt, 0.0)
@@ -194,26 +195,24 @@ def update_prognostics_implicit(dtime, dz_zt, dz_zi, rho_zt, zt_grid,
     # tmpi = dt*g*rho/dz at interfaces (:851-887); level 0 unused
     safe_dzi = jnp.where(dz_zi == 0.0, 1.0, dz_zi)
     tmpi = dtime * (C.ggr * rho_zi) / safe_dzi
-    tmpi = tmpi.at[..., 0].set(0.0)
+    tmpi = tmpi.at[0].set(0.0)
     rdp_zt = 1.0 / (C.ggr * rho_zt * dz_zt)              # (:889-926)
 
     # implicit surface stress (:930-975)
-    taux = rho_zi[..., -1] * uw_sfc
-    tauy = rho_zi[..., -1] * vw_sfc
-    ws = jnp.maximum(jnp.sqrt(u_wind[..., -1] ** 2 + v_wind[..., -1] ** 2),
-                     1.0)
+    taux = rho_zi[-1] * uw_sfc
+    tauy = rho_zi[-1] * vw_sfc
+    ws = jnp.maximum(jnp.sqrt(u_wind[-1] ** 2 + v_wind[-1] ** 2), 1.0)
     ksrf = jnp.maximum(jnp.sqrt(taux ** 2 + tauy ** 2) / ws, 1.0e-4)
     ustar = jnp.maximum(jnp.sqrt(jnp.sqrt(uw_sfc ** 2 + vw_sfc ** 2)), 0.01)
     wtke_sfc = ustar ** 3                                # (:977-1000)
 
     # explicit surface fluxes for thermo + tracers (:1002-1058)
-    cmnfac = dtime * (C.ggr * rho_zi[..., -1] * rdp_zt[..., -1])
-    thetal = thetal.at[..., -1].add(cmnfac * wthl_sfc)
-    qw = qw.at[..., -1].add(cmnfac * wqw_sfc)
-    tke = tke.at[..., -1].add(cmnfac * wtke_sfc)
+    cmnfac = dtime * (C.ggr * rho_zi[-1] * rdp_zt[-1])
+    thetal = thetal.at[-1].add(cmnfac * wthl_sfc)
+    qw = qw.at[-1].add(cmnfac * wqw_sfc)
+    tke = tke.at[-1].add(cmnfac * wtke_sfc)
     if tracers is not None:
-        tracers = tracers.at[..., -1, :].add(cmnfac[..., None] *
-                                             wtracer_sfc)
+        tracers = tracers.at[-1].add(cmnfac[:, None] * wtracer_sfc)
 
     du, dl, d0 = vd_shoc_matrix(tk_zi, tmpi, rdp_zt, dtime, ksrf)
     u_wind, v_wind = _solve_shared(du, dl, d0, [u_wind, v_wind])
@@ -247,20 +246,18 @@ def diag_second_shoc_moments(thetal, qw, u_wind, v_wind, tke, isotropy, tkh,
 
     def varorcovar(tunefac, a, b):
         """(calc_shoc_varorcovar, :1516-1583) interior interfaces only."""
-        gd2 = (1.0 / dz_zi[..., 1:-1]) ** 2
-        sm = isotropy_zi[..., 1:-1] * tkh_zi[..., 1:-1]
-        return tunefac * sm * gd2 * (a[..., :-1] - a[..., 1:]) * \
-            (b[..., :-1] - b[..., 1:])
+        gd2 = (1.0 / dz_zi[1:-1]) ** 2
+        sm = isotropy_zi[1:-1] * tkh_zi[1:-1]
+        return tunefac * sm * gd2 * (a[:-1] - a[1:]) * (b[:-1] - b[1:])
 
     def vertflux(kv_zi, a):
         """(calc_shoc_vertflux, :1585-1643)."""
-        return -kv_zi[..., 1:-1] * (a[..., :-1] - a[..., 1:]) / \
-            dz_zi[..., 1:-1]
+        return -kv_zi[1:-1] * (a[:-1] - a[1:]) / dz_zi[1:-1]
 
     def with_bc(interior, lower):
         """interfaces: [upper bc=0] + interior + [lower bc]."""
-        return jnp.concatenate([jnp.zeros_like(lower)[..., None], interior,
-                                lower[..., None]], axis=-1)
+        return jnp.concatenate([jnp.zeros_like(lower)[None], interior,
+                                lower[None]], axis=0)
 
     # lower boundary (Andre et al 1978, :1267-1367)
     uf = jnp.maximum(jnp.sqrt(ustar2 + 0.3 * wstar * wstar), 0.01)
@@ -294,21 +291,21 @@ def diag_third_shoc_moments(w_sec, thl_sec, wthl_sec, isotropy, brunt,
                              (2.0 / 3.0) * C.mintke)
     thetal_zi = linear_interp(zt_grid, zi_grid, thetal, 0.0)
 
-    nlev = w_sec.shape[-1]
+    nlev = w_sec.shape[0]
     # interior interfaces k=1..nlev-1 (Fortran k=2..nlev); kc=k-1, kb=k+1
-    sl = lambda a: a[..., 1:nlev]          # interface arrays at k
-    thedz = 1.0 / dz_zi[..., 1:nlev]
-    thedz2 = 1.0 / (dz_zt[..., 1:] + dz_zt[..., :-1])
+    sl = lambda a: a[1:nlev]               # interface arrays at k
+    thedz = 1.0 / dz_zi[1:nlev]
+    thedz2 = 1.0 / (dz_zt[1:] + dz_zt[:-1])
     iso = sl(isotropy_zi)
     isosqrd = iso ** 2
     buoy_sgs2 = isosqrd * sl(brunt_zi)
     bet2 = C.ggr / sl(thetal_zi)
 
-    thl_sec_diff = thl_sec[..., :nlev - 1] - thl_sec[..., 2:]
-    wthl_sec_diff = wthl_sec[..., :nlev - 1] - wthl_sec[..., 2:]
-    wthl_k = wthl_sec[..., 1:nlev]
-    wsec_diff = w_sec[..., :-1] - w_sec[..., 1:]
-    tke_diff = tke[..., :-1] - tke[..., 1:]
+    thl_sec_diff = thl_sec[:nlev - 1] - thl_sec[2:]
+    wthl_sec_diff = wthl_sec[:nlev - 1] - wthl_sec[2:]
+    wthl_k = wthl_sec[1:nlev]
+    wsec_diff = w_sec[:-1] - w_sec[1:]
+    tke_diff = tke[:-1] - tke[1:]
     wsec_zik = sl(w_sec_zi)
 
     f0 = thedz2 * bet2 ** 3 * iso ** 4 * wthl_k * thl_sec_diff
@@ -343,8 +340,8 @@ def diag_third_shoc_moments(w_sec, thl_sec, wthl_sec, isotropy, brunt,
     aa1 = omega0 * x1 + omega1 * y1 + omega2
     w3_int = (aa1 - 1.2 * x1 - 1.5 * f5) / (c - 1.2 * x0 + aa0)
 
-    w3 = jnp.concatenate([jnp.zeros_like(w3_int[..., :1]), w3_int,
-                          jnp.zeros_like(w3_int[..., :1])], axis=-1)
+    w3 = jnp.concatenate([jnp.zeros_like(w3_int[:1]), w3_int,
+                          jnp.zeros_like(w3_int[:1])], axis=0)
     # clipping (:2099-2148): |w3| > 1.2*sqrt(2 w_sec_zi^3) -> 0.02
     cond = C.w3clip * jnp.sqrt(2.0 * jnp.maximum(w_sec_zi, 0.0) ** 3)
     w3 = jnp.where(jnp.abs(w3) > cond, 0.02, w3)
@@ -486,7 +483,7 @@ def shoc_assumed_pdf(thetal, qw, w_field, thl_sec, qw_sec, wthl_sec, w_sec,
                       (1.0 / epsterm) * C.basetemp) * wqls
 
     # top level: no cloud (:2204-2205 shoc_ql(:,1)=0)
-    ql = ql.at[..., 0].set(0.0)
+    ql = ql.at[0].set(0.0)
     return cldfrac, ql, wqls, wthv_sec, ql2_var
 
 
@@ -497,14 +494,14 @@ def shoc_tke(dtime, wthv_sec, shoc_mix, dz_zi, dz_zt, pres, u_wind, v_wind,
     (shoc.F90:2929-3376). Returns (tke, tk, tkh, isotropy)."""
     # column stability integral below 800mb (:3025-3070)
     brunt_int = jnp.sum(jnp.where(pres > C.troppres, dz_zt * brunt, 0.0),
-                        axis=-1)
+                        axis=0)
     # shear production on interfaces (:3072-3130)
-    gd = 1.0 / dz_zi[..., 1:-1]
-    u_grad = gd * (u_wind[..., :-1] - u_wind[..., 1:])
-    v_grad = gd * (v_wind[..., :-1] - v_wind[..., 1:])
+    gd = 1.0 / dz_zi[1:-1]
+    u_grad = gd * (u_wind[:-1] - u_wind[1:])
+    v_grad = gd * (v_wind[:-1] - v_wind[1:])
     sterm_int = 0.1 * (u_grad ** 2 + v_grad ** 2)
-    sterm = jnp.concatenate([jnp.zeros_like(u_wind[..., :1]), sterm_int,
-                             jnp.zeros_like(u_wind[..., :1])], axis=-1)
+    sterm = jnp.concatenate([jnp.zeros_like(u_wind[:1]), sterm_int,
+                             jnp.zeros_like(u_wind[:1])], axis=0)
     sterm_zt = linear_interp(zi_grid, zt_grid, sterm, 0.0)
 
     # advance TKE (:3132-3210)
@@ -521,7 +518,7 @@ def shoc_tke(dtime, wthv_sec, shoc_mix, dz_zi, dz_zt, pres, u_wind, v_wind,
 
     # return-to-isotropy timescale (:3212-3277)
     tscale = (2.0 * tke) / jnp.maximum(a_diss, 1e-30)
-    lam = C.lambda_low + ((brunt_int[..., None] / C.ggr) -
+    lam = C.lambda_low + ((brunt_int / C.ggr) -
                           C.lambda_thresh) * C.lambda_slope
     lam = jnp.clip(lam, C.lambda_low, C.lambda_high)
     lam = jnp.where(brunt <= 0.0, 0.0, lam)
@@ -529,8 +526,8 @@ def shoc_tke(dtime, wthv_sec, shoc_mix, dz_zi, dz_zt, pres, u_wind, v_wind,
                            (1.0 + lam * brunt * tscale ** 2))
 
     # eddy diffusivities (:3279-3376)
-    z_over_L = zt_grid[..., -1:] / obklen[..., None]
-    stable_pbl = (z_over_L > 0.0) & (zt_grid < pblh[..., None] + 200.0)
+    z_over_L = zt_grid[-1] / obklen
+    stable_pbl = (z_over_L > 0.0) & (zt_grid < pblh + 200.0)
     Ckh_s = jnp.clip(z_over_L / 100.0, C.Ckh_s_min, C.Ckh_s_max)
     Ckm_s = jnp.clip(z_over_L / 100.0, C.Ckm_s_min, C.Ckm_s_max)
     tkh = jnp.where(stable_pbl,
@@ -552,19 +549,19 @@ def shoc_length(host_dx, host_dy, zt_grid, zi_grid, dz_zt, tke, thv):
     """Turbulent length scale (shoc.F90:3419-3502 + helpers :4661-4824).
     Returns (brunt, shoc_mix)."""
     thv_zi = linear_interp(zt_grid, zi_grid, thv, 0.0)
-    brunt = (C.ggr / thv) * (thv_zi[..., :-1] - thv_zi[..., 1:]) / dz_zt
+    brunt = (C.ggr / thv) * (thv_zi[:-1] - thv_zi[1:]) / dz_zt
     tkes = jnp.sqrt(tke)
-    numer = jnp.sum(tkes * zt_grid * dz_zt, axis=-1)
-    denom = jnp.sum(tkes * dz_zt, axis=-1)
+    numer = jnp.sum(tkes * zt_grid * dz_zt, axis=0)
+    denom = jnp.sum(tkes * dz_zt, axis=0)
     l_inf = 0.1 * (numer / denom)
     brunt2 = jnp.maximum(brunt, 0.0)
     tscale = 400.0
     shoc_mix = jnp.minimum(C.maxlen, (2.8284 * jnp.sqrt(1.0 / (
         (1.0 / (tscale * tkes * C.vk * zt_grid)) +
-        (1.0 / (tscale * tkes * l_inf[..., None])) +
+        (1.0 / (tscale * tkes * l_inf)) +
         0.01 * (brunt2 / tke)))) / C.length_fac)
     shoc_mix = jnp.clip(shoc_mix, C.minlen, C.maxlen)
-    shoc_mix = jnp.minimum(jnp.sqrt(host_dx * host_dy)[..., None], shoc_mix)
+    shoc_mix = jnp.minimum(jnp.sqrt(host_dx * host_dy), shoc_mix)
     return brunt, shoc_mix
 
 
@@ -585,22 +582,20 @@ def _pblintd_height(z, u, v, ustar, thv, thv_ref, npbl, pblh0, active):
     """Richardson-number PBL height search (pblintd_height,
     shoc.F90:4330-4395) vectorized: compute rino over the scan window and
     pick the LOWEST interface where rino crosses ricr."""
-    nlev = z.shape[-1]
-    vvk = (u - u[..., -1:]) ** 2 + (v - v[..., -1:]) ** 2 + \
-        C.fac * (ustar[..., None]) ** 2
+    nlev = z.shape[0]
+    vvk = (u - u[-1:]) ** 2 + (v - v[-1:]) ** 2 + C.fac * ustar ** 2
     vvk = jnp.maximum(vvk, C.tinyw)
-    rino = C.ggr * (thv - thv_ref[..., None]) * (z - z[..., -1:]) / \
-        (thv[..., -1:] * vvk)
-    rino = rino.at[..., -1].set(0.0)
+    rino = C.ggr * (thv - thv_ref) * (z - z[-1:]) / (thv[-1:] * vvk)
+    rino = rino.at[-1].set(0.0)
     # scan k=nlev-2 down to nlev-npbl (0-based), i.e. upward from surface
     ks = jnp.arange(nlev)
     in_window = (ks >= nlev - npbl) & (ks <= nlev - 2)
-    crossed = (rino >= C.ricr) & in_window[None, :]
-    any_cross = jnp.any(crossed, axis=-1)
+    crossed = (rino >= C.ricr) & in_window[:, None]
+    any_cross = jnp.any(crossed, axis=0)
     # largest k (lowest level) with crossing
-    kcross = jnp.argmax(jnp.where(crossed, ks[None, :], -1), axis=-1)
-    take = lambda arr, idx: jnp.take_along_axis(arr, idx[..., None],
-                                                axis=-1)[..., 0]
+    kcross = jnp.argmax(jnp.where(crossed, ks[:, None], -1), axis=0)
+    take = lambda arr, idx: jnp.take_along_axis(arr, idx[None, :],
+                                                axis=0)[0]
     r_k = take(rino, kcross)
     r_kp = take(rino, jnp.minimum(kcross + 1, nlev - 1))
     z_k = take(z, kcross)
@@ -616,30 +611,30 @@ def pblintd(z, zi, thl, ql, q, u, v, ustar, obklen, kbfs, cldn, npbl):
     """PBL depth diagnosis (pblintd + helpers, shoc.F90:4116-4574)."""
     th = thl + (C.lcond / C.cp) * ql
     thv = th * (1.0 + C.eps * q - ql)
-    nlev = z.shape[-1]
+    nlev = z.shape[0]
 
-    pblh = z[..., -1]
+    pblh = z[-1]
     check = jnp.ones_like(pblh, dtype=bool)
-    pblh, check = _pblintd_height(z, u, v, ustar, thv, thv[..., -1], npbl,
+    pblh, check = _pblintd_height(z, u, v, ustar, thv, thv[-1], npbl,
                                   pblh, check)
     # surface temperature excess pass (:4397-4461)
-    pblh = jnp.where(check, z[..., nlev - npbl], pblh)
+    pblh = jnp.where(check, z[nlev - npbl], pblh)
     check = kbfs > 0.0
     binm = 15.0 * 0.1
     phiminv = jnp.cbrt(jnp.maximum(1.0 - binm * pblh / obklen, 1e-30))
     tlv = jnp.where(check,
-                    thv[..., -1] + kbfs * 8.5 / (ustar * phiminv),
-                    thv[..., -1])
+                    thv[-1] + kbfs * 8.5 / (ustar * phiminv),
+                    thv[-1])
     pblh2, check2 = _pblintd_height(z, u, v, ustar, thv, tlv, npbl, pblh,
                                     check)
     pblh = jnp.where(check, pblh2, pblh)
     check = check & check2
     # final checks (:4463-4517)
-    pblh = jnp.where(check, z[..., nlev - npbl], pblh)
+    pblh = jnp.where(check, z[nlev - npbl], pblh)
     pblh = jnp.maximum(pblh, 700.0 * ustar)
     # cloud check (:4519-4574)
-    cldcheck = cldn[..., -1] >= 0.0
-    pblh = jnp.where(cldcheck, jnp.maximum(pblh, zi[..., -2] + 50.0), pblh)
+    cldcheck = cldn[-1] >= 0.0
+    pblh = jnp.where(cldcheck, jnp.maximum(pblh, zi[-2] + 50.0), pblh)
     return pblh
 
 
@@ -647,17 +642,17 @@ def pblintd(z, zi, thl, ql, q, u, v, ustar, obklen, kbfs, cldn, npbl):
 def shoc_energy_integrals(host_dse, pdel, rtm, rcm, u_wind, v_wind):
     """(shoc.F90:3644-3715)."""
     w = pdel / C.ggr
-    se = jnp.sum(host_dse * w, axis=-1)
-    ke = jnp.sum(0.5 * (u_wind ** 2 + v_wind ** 2) * w, axis=-1)
-    wv = jnp.sum((rtm - rcm) * w, axis=-1)
-    wl = jnp.sum(rcm * w, axis=-1)
+    se = jnp.sum(host_dse * w, axis=0)
+    ke = jnp.sum(0.5 * (u_wind ** 2 + v_wind ** 2) * w, axis=0)
+    wv = jnp.sum((rtm - rcm) * w, axis=0)
+    wl = jnp.sum(rcm * w, axis=0)
     return se, ke, wv, wl
 
 
 def update_host_dse(thlm, shoc_ql, inv_exner, zt_grid, phis):
     """(shoc.F90:3717-3774)."""
     temp = (thlm / inv_exner) + (C.lcond / C.cp) * shoc_ql
-    return C.cp * temp + C.ggr * zt_grid + phis[..., None]
+    return C.cp * temp + C.ggr * zt_grid + phis
 
 
 def shoc_energy_fixer(dtime, nadv, zt_grid, zi_grid, before, after,
@@ -668,23 +663,23 @@ def shoc_energy_fixer(dtime, nadv, zt_grid, zi_grid, before, after,
     se_a, ke_a, wv_a, wl_a = after
     hdtime = dtime * nadv
     rho_zi = linear_interp(zt_grid, zi_grid, rho_zt, 0.0)
-    shf = wthl_sfc * C.cp * rho_zi[..., -1]
-    lhf = wqw_sfc * rho_zi[..., -1]
+    shf = wthl_sfc * C.cp * rho_zi[-1]
+    lhf = wqw_sfc * rho_zi[-1]
     te_a = se_a + ke_a + (C.lcond + C.lice) * wv_a + C.lice * wl_a
     te_b = se_b + ke_b + (C.lcond + C.lice) * wv_b + C.lice * wl_b
     te_b = te_b + (shf + lhf * (C.lcond + C.lice)) * hdtime
     # shoctop: first level from top where tke > mintke (:3963-4011)
-    nlev = tke.shape[-1]
+    nlev = tke.shape[0]
     active = tke > C.mintke
     ks = jnp.arange(nlev)
-    shoctop = jnp.argmax(active, axis=-1)
-    shoctop = jnp.where(jnp.any(active, axis=-1), shoctop, nlev - 2)
+    shoctop = jnp.argmax(active, axis=0)
+    shoctop = jnp.where(jnp.any(active, axis=0), shoctop, nlev - 2)
     shoctop = jnp.minimum(shoctop, nlev - 2)
-    take = lambda arr, idx: jnp.take_along_axis(arr, idx[..., None],
-                                                axis=-1)[..., 0]
-    se_dis = (te_a - te_b) / (presi[..., -1] - take(presi, shoctop))
-    mask = ks[None, :] >= shoctop[..., None]
-    return jnp.where(mask, host_dse - se_dis[..., None] * C.ggr, host_dse)
+    take = lambda arr, idx: jnp.take_along_axis(arr, idx[None, :],
+                                                axis=0)[0]
+    se_dis = (te_a - te_b) / (presi[-1] - take(presi, shoctop))
+    mask = ks[:, None] >= shoctop[None, :]
+    return jnp.where(mask, host_dse - se_dis * C.ggr, host_dse)
 
 
 # ------------------------------------------------------------------ main
@@ -693,7 +688,7 @@ def shoc_main(dtime, nadv, host_dx, host_dy, thv, zt_grid, zi_grid, pres,
               w_field, inv_exner, phis, host_dse, tke, thetal, qw, u_wind,
               v_wind, qtracers, wthv_sec, tkh, tk, shoc_ql, shoc_cldfrac,
               npbl):
-    """Full SHOC step over (ncol, nlev) columns
+    """Full SHOC step over (nlev, ncol) z-leading columns
     (shoc.F90 shoc_main:187-565). Returns dict of updated state + diags.
     ``nadv`` must be a static int (python loop under jit)."""
     before = shoc_energy_integrals(host_dse, pdel, qw, shoc_ql, u_wind,
@@ -704,8 +699,8 @@ def shoc_main(dtime, nadv, host_dx, host_dy, thv, zt_grid, zi_grid, pres,
         tke = check_tke(tke)
         shoc_qv = compute_shoc_vapor(qw, shoc_ql)
         ustar, kbfs, obklen = shoc_diag_obklen(
-            uw_sfc, vw_sfc, wthl_sfc, wqw_sfc, thetal[..., -1],
-            shoc_ql[..., -1], shoc_qv[..., -1])
+            uw_sfc, vw_sfc, wthl_sfc, wqw_sfc, thetal[-1],
+            shoc_ql[-1], shoc_qv[-1])
         pblh = pblintd(zt_grid, zi_grid, thetal, shoc_ql, shoc_qv, u_wind,
                        v_wind, ustar, obklen, kbfs, shoc_cldfrac, npbl)
         brunt, shoc_mix = shoc_length(host_dx, host_dy, zt_grid, zi_grid,
@@ -742,8 +737,8 @@ def shoc_main(dtime, nadv, host_dx, host_dy, thv, zt_grid, zi_grid, pres,
     # final PBL diagnosis (:537-556)
     shoc_qv = compute_shoc_vapor(qw, shoc_ql)
     ustar, kbfs, obklen = shoc_diag_obklen(
-        uw_sfc, vw_sfc, wthl_sfc, wqw_sfc, thetal[..., -1],
-        shoc_ql[..., -1], shoc_qv[..., -1])
+        uw_sfc, vw_sfc, wthl_sfc, wqw_sfc, thetal[-1],
+        shoc_ql[-1], shoc_qv[-1])
     pblh = pblintd(zt_grid, zi_grid, thetal, shoc_ql, shoc_qv, u_wind,
                    v_wind, ustar, obklen, kbfs, shoc_cldfrac, npbl)
     diags.update(pblh=pblh, ustar=ustar, obklen=obklen)

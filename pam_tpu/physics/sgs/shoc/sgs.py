@@ -54,29 +54,34 @@ def _npbl(pref_mid: np.ndarray) -> int:
 
 
 def _to_cols(a, nz):
-    """(nens, nz, ny, nx) -> (ncol, nz) flipped to top-down."""
-    return jnp.moveaxis(a, 1, -1).reshape(-1, nz)[:, ::-1]
+    """(nens, nz, ny, nx) -> (nz, ncol) flipped to top-down.
+
+    z-major / ensemble-minor column layout (ncol flattens (ny, nx, nens),
+    nens minor): the transpose is a layout relabel of the z-major physical
+    layout XLA assigns the dycore fields (see p3/microphysics.py)."""
+    return jnp.transpose(a, (1, 2, 3, 0)).reshape(nz, -1)[::-1]
 
 
 def _from_cols(a, shape):
     nens, nz, ny, nx = shape
-    return jnp.moveaxis(a[:, ::-1].reshape(nens, ny, nx, nz), -1, 1)
+    return jnp.transpose(a[::-1].reshape(nz, ny, nx, nens), (3, 0, 1, 2))
 
 
 def _to_cols_batch(arrays, nz):
     """Batched :func:`_to_cols`: one stacked transpose+flip kernel for many
     fields instead of one per field."""
     st = jnp.stack(arrays)                     # (F, nens, nz, ny, nx)
-    c = jnp.moveaxis(st, 2, -1).reshape(st.shape[0], -1, nz)[..., ::-1]
+    c = jnp.transpose(st, (0, 2, 3, 4, 1)).reshape(st.shape[0], nz, -1)
+    c = c[:, ::-1]
     return [c[i] for i in range(st.shape[0])]
 
 
 def _from_cols_batch(arrays, shape):
     """Batched :func:`_from_cols`."""
     nens, nz, ny, nx = shape
-    st = jnp.stack(arrays)                     # (F, ncol, nz)
-    r = jnp.moveaxis(st[..., ::-1].reshape(st.shape[0], nens, ny, nx, nz),
-                     -1, 2)
+    st = jnp.stack(arrays)                     # (F, nz, ncol)
+    r = jnp.transpose(st[:, ::-1].reshape(st.shape[0], nz, ny, nx, nens),
+                      (0, 4, 1, 2, 3))
     return [r[i] for i in range(st.shape[0])]
 
 
@@ -156,8 +161,9 @@ class ShocSgs:
         pint_full = jnp.concatenate([pint_bot, pint_mid, pint_top], axis=1)
         presi = _to_cols(pint_full, nz + 1)
 
-        sfc = lambda name: state[name].reshape(-1)
-        phis = jnp.repeat(z0[:, 0] * C.ggr, ny * nx)
+        # surface fields: (nens, ny, nx) -> (ncol,) ordered (ny, nx, nens)
+        sfc = lambda name: jnp.transpose(state[name], (1, 2, 0)).reshape(-1)
+        phis = jnp.tile(z0[:, 0] * C.ggr, ny * nx)
 
         tke_in = jnp.maximum(0.004, state["tke"] / rho_total)
         tr4 = [jnp.maximum(state[n] / rho_total, 0.0) for n in tracer_names]
@@ -182,10 +188,10 @@ class ShocSgs:
             presi=presi, pdel=pdel,
             wthl_sfc=0.0 * ones_col, wqw_sfc=0.0 * ones_col,
             uw_sfc=sfc("sfc_mom_flx_u"), vw_sfc=sfc("sfc_mom_flx_v"),
-            wtracer_sfc=jnp.zeros_like(qtr_cols[:, 0, :]),
+            wtracer_sfc=jnp.zeros_like(qtr_cols[0]),
             w_field=w_c, inv_exner=invex_c,
             phis=phis,
-            host_dse=dse_c + phis[:, None],
+            host_dse=dse_c + phis,
             tke=tke_c, thetal=thl_c, qw=qw_c,
             u_wind=u_c, v_wind=v_c,
             qtracers=qtr_cols, wthv_sec=wthv_c,
@@ -225,5 +231,6 @@ class ShocSgs:
             (rcm != 0.0) & (rcm2 != 0.0),
             jnp.clip(rcm * rcm / jnp.maximum(rcm2, 1e-300), 0.001, 10.0),
             1.0)
-        out["pblh"] = diags["pblh"].reshape(nens, ny, nx)
+        out["pblh"] = jnp.transpose(diags["pblh"].reshape(ny, nx, nens),
+                                    (2, 0, 1))
         return out

@@ -167,6 +167,33 @@ def test_explicit_kessler_rainsplit_min_spans_shards(mmf_spam_si):
                              "precip_liquid", "precl"))
 
 
+def test_explicit_kessler_rainsplit_ens_varying(mmf_spam_si):
+    """Under explicit ENSEMBLE sharding the rainsplit CFL min is
+    ens-shard-local (comm.pmin_h spans only x/y) — the documented accepted
+    deviation at kessler.py::kessler_column (ensemble members are
+    independent CRMs; only which CRMs share a trip count changes). With
+    rain varying ACROSS members, the 2-way ens-sharded step must therefore
+    equal the unsharded step whose micro uses ens_chunk = shard size (the
+    same per-group min), NOT necessarily the global-min step."""
+    import dataclasses
+    drv, state = mmf_spam_si
+    state = dict(state)
+    nens = state["temp"].shape[0]
+    pr = np.zeros_like(np.array(state["precip_liquid"]))
+    # heavy rain ONLY in the first ens half -> shard-local mins differ
+    pr[:nens // 2, 2:8, :, 3] = 4e-3 * \
+        np.asarray(state["density_dry"])[:nens // 2, 2:8, :, 3]
+    state["precip_liquid"] = jnp.asarray(pr)
+    drv_chunk = dataclasses.replace(
+        drv, micro=dataclasses.replace(drv.micro, ens_chunk=nens // 2))
+    ref = jax.jit(drv_chunk.crm_phys_step)(state)
+    mesh = make_mesh(n_ens_shards=2, n_x_shards=4)
+    step, place = sharded_crm_step(drv, mesh)
+    out = step(place(state))
+    _compare(ref, out, keys=("temp", "water_vapor", "cloud_liquid",
+                             "precip_liquid", "precl"))
+
+
 @pytest.mark.slow
 def test_explicit_spam_si_multi_step(mmf_spam_si):
     """10 steps sharded == 10 steps unsharded (steady-state comm pattern)."""

@@ -217,7 +217,7 @@ def test_shoc_tke_chain_matches_fortran_oracle():
     u = v = np.zeros(nz)
     obklen, pblh = -50.0, 800.0           # unstable: no stable-PBL branch
 
-    b = lambda a: jnp.asarray(a, jnp.float64)[None]
+    b = lambda a: jnp.asarray(a, jnp.float64)[:, None]
     tke, tk, tkh, iso = shm.shoc_tke(
         1.0, b(wthv), b(mix), b(dz_zi), b(dz_zt), b(pres), b(u), b(v),
         b(brunt), jnp.asarray([obklen]), b(zt), b(zi),
@@ -228,7 +228,7 @@ def test_shoc_tke_chain_matches_fortran_oracle():
         e_tke, e_tk, e_tkh, e_iso = _oracle_shoc_tke_chain(
             1.0, wthv[k], mix[k], tke0[k], brunt[k], brunt_int,
             zt[-1], obklen, zt[k], pblh)
-        np.testing.assert_allclose(float(tke[0, k]), e_tke, rtol=1e-10)
-        np.testing.assert_allclose(float(iso[0, k]), e_iso, rtol=1e-10)
-        np.testing.assert_allclose(float(tk[0, k]), e_tk, rtol=1e-10)
-        np.testing.assert_allclose(float(tkh[0, k]), e_tkh, rtol=1e-10)
+        np.testing.assert_allclose(float(tke[k, 0]), e_tke, rtol=1e-10)
+        np.testing.assert_allclose(float(iso[k, 0]), e_iso, rtol=1e-10)
+        np.testing.assert_allclose(float(tk[k, 0]), e_tk, rtol=1e-10)
+        np.testing.assert_allclose(float(tkh[k, 0]), e_tkh, rtol=1e-10)

@@ -24,8 +24,8 @@ def _grid(nz=40, ztop=10000.0):
 
 def test_linear_interp_roundtrip():
     zt, zi = _grid(20)
-    x1 = jnp.asarray(zt)[None]
-    x2 = jnp.asarray(zi)[None]
+    x1 = jnp.asarray(zt)[:, None]
+    x2 = jnp.asarray(zi)[:, None]
     y1 = 2.0 * x1 + 5.0
     y2 = linear_interp(x1, x2, y1, -1e30)
     # linear fields are interpolated/extrapolated exactly
@@ -41,18 +41,16 @@ def test_linear_interp_roundtrip():
 def test_thomas_solves_tridiagonal():
     rng = np.random.default_rng(0)
     n, ncol = 25, 3
-    du = jnp.asarray(-0.1 * rng.random((ncol, n)))
-    dl = jnp.asarray(-0.1 * rng.random((ncol, n)))
-    du = du.at[:, -1].set(0.0)
-    dl = dl.at[:, 0].set(0.0)
+    du = jnp.asarray(-0.1 * rng.random((n, ncol)))
+    dl = jnp.asarray(-0.1 * rng.random((n, ncol)))
+    du = du.at[-1].set(0.0)
+    dl = dl.at[0].set(0.0)
     d0 = 1.0 - du - dl
-    x_true = jnp.asarray(rng.standard_normal((ncol, n)))
+    x_true = jnp.asarray(rng.standard_normal((n, ncol)))
     # build rhs = A x
     rhs = d0 * x_true
-    rhs = rhs.at[:, :-1].add(np.asarray(du)[:, :-1] *
-                             np.asarray(x_true)[:, 1:])
-    rhs = rhs.at[:, 1:].add(np.asarray(dl)[:, 1:] *
-                            np.asarray(x_true)[:, :-1])
+    rhs = rhs.at[:-1].add(np.asarray(du)[:-1] * np.asarray(x_true)[1:])
+    rhs = rhs.at[1:].add(np.asarray(dl)[1:] * np.asarray(x_true)[:-1])
     x = _thomas(du, dl, d0, rhs)
     assert np.allclose(np.asarray(x), np.asarray(x_true), atol=1e-12)
 
@@ -64,11 +62,11 @@ def test_solve_shared_matches_per_field_thomas():
     import pam_tpu.ops.tridiag as tri
     rng = np.random.default_rng(1)
     ncol, n, ntr = 5, 50, 3
-    du = jnp.asarray(-0.2 * rng.random((ncol, n))).at[:, -1].set(0.0)
-    dl = jnp.asarray(-0.2 * rng.random((ncol, n))).at[:, 0].set(0.0)
+    du = jnp.asarray(-0.2 * rng.random((n, ncol))).at[-1].set(0.0)
+    dl = jnp.asarray(-0.2 * rng.random((n, ncol))).at[0].set(0.0)
     d0 = 1.0 - du - dl
-    rhs = [jnp.asarray(rng.standard_normal((ncol, n))) for _ in range(3)]
-    tr = jnp.asarray(rng.standard_normal((ncol, n, ntr)))
+    rhs = [jnp.asarray(rng.standard_normal((n, ncol))) for _ in range(3)]
+    tr = jnp.asarray(rng.standard_normal((n, ncol, ntr)))
     ref = [_thomas(du, dl, d0, r) for r in rhs]
     ref_tr = jax.vmap(lambda t: _thomas(du, dl, d0, t), in_axes=-1,
                       out_axes=-1)(tr)
@@ -90,34 +88,36 @@ def test_implicit_diffusion_conserves_and_smooths():
     (rho-weighted) and reduces gradients."""
     zt, zi = _grid(30)
     ncol = 2
-    b = lambda a: jnp.asarray(np.broadcast_to(a, (ncol,) + np.shape(a)).copy())
+    b = lambda a: jnp.asarray(np.broadcast_to(
+        np.asarray(a, float)[..., None], np.shape(a) + (ncol,)).copy())
     p = 1e5 * np.exp(-zt / 8500.0)
     rho = p / (287.0 * 290.0)
     pdel = 9.80616 * rho * np.diff(zi[::-1])[::-1]
     dz_zt, dz_zi, rho_zt = shoc_grid(b(zt), b(zi), b(pdel))
-    tkh = jnp.full((ncol, 30), 50.0)
+    tkh = jnp.full((30, ncol), 50.0)
     rng = np.random.default_rng(1)
     field = b(290.0 + rng.standard_normal(30))
     from pam_tpu.physics.sgs.shoc.main import update_prognostics_implicit
     th, qw, tr, tke, u, v = update_prognostics_implicit(
         60.0, dz_zt, dz_zi, rho_zt, b(zt), b(zi), tkh, tkh,
         jnp.zeros(ncol), jnp.zeros(ncol), jnp.zeros(ncol), jnp.zeros(ncol),
-        None, field, field * 1e-3, None, jnp.full((ncol, 30), SC.mintke),
+        None, field, field * 1e-3, None, jnp.full((30, ncol), SC.mintke),
         0 * field, 0 * field)
-    w = np.asarray(pdel)
-    m0 = (np.asarray(field) * w).sum(-1)
-    m1 = (np.asarray(th) * w).sum(-1)
+    w = np.asarray(pdel)[:, None]
+    m0 = (np.asarray(field) * w).sum(0)
+    m1 = (np.asarray(th) * w).sum(0)
     assert np.allclose(m0, m1, rtol=1e-10)
     # variance reduced
-    assert np.asarray(th).std(-1).max() < np.asarray(field).std(-1).max()
+    assert np.asarray(th).std(0).max() < np.asarray(field).std(0).max()
 
 
 def test_shoc_length_bounds():
     zt, zi = _grid(30)
     ncol = 2
-    b = lambda a: jnp.asarray(np.broadcast_to(a, (ncol,) + np.shape(a)).copy())
+    b = lambda a: jnp.asarray(np.broadcast_to(
+        np.asarray(a, float)[..., None], np.shape(a) + (ncol,)).copy())
     dz_zt = b(-np.diff(zi))
-    tke = jnp.full((ncol, 30), 0.1)
+    tke = jnp.full((30, ncol), 0.1)
     thv = b(np.linspace(330, 300, 30))
     brunt, mix = shoc_length(100.0 * jnp.ones(ncol), 100.0 * jnp.ones(ncol),
                              b(zt), b(zi), dz_zt, tke, thv)
@@ -132,7 +132,8 @@ def test_pblintd_detects_inversion():
     """Well-mixed layer capped by an inversion at ~1km -> pblh ~1km."""
     zt, zi = _grid(40)
     ncol = 2
-    b = lambda a: jnp.asarray(np.broadcast_to(a, (ncol,) + np.shape(a)).copy())
+    b = lambda a: jnp.asarray(np.broadcast_to(
+        np.asarray(a, float)[..., None], np.shape(a) + (ncol,)).copy())
     thl = b(np.where(zt > 1000.0, 305.0 + 3e-3 * (zt - 1000.0), 305.0))
     pblh = pblintd(b(zt), b(zi), thl, 0 * thl, 0 * thl + 0.008,
                    0 * thl, 0 * thl, 0.1 * jnp.ones(ncol),
@@ -145,7 +146,8 @@ def test_assumed_pdf_saturated_column_condenses():
     zt, zi = _grid(20)
     ncol = 1
     nz = 20
-    b = lambda a: jnp.asarray(np.broadcast_to(a, (ncol,) + np.shape(a)).copy())
+    b = lambda a: jnp.asarray(np.broadcast_to(
+        np.asarray(a, float)[..., None], np.shape(a) + (ncol,)).copy())
     p = 1e5 * np.exp(-zt / 8500.0)
     exner = (p / 1e5) ** (SC.rgas / SC.cp)
     T = 285.0 * np.ones(nz)
@@ -153,20 +155,21 @@ def test_assumed_pdf_saturated_column_condenses():
     qs = np.asarray(qv_sat(jnp.asarray(T), jnp.asarray(p), False))
     thl = b(T / exner)
     qw = b(qs * 1.1)   # supersaturated everywhere
-    zeros_i = jnp.zeros((ncol, nz + 1))
+    zeros_i = jnp.zeros((nz + 1, ncol))
     cldfrac, ql, wqls, wthv, ql2 = shoc_assumed_pdf(
-        thl, qw, jnp.zeros((ncol, nz)), zeros_i, zeros_i, zeros_i,
-        jnp.full((ncol, nz), 0.1), zeros_i, zeros_i, zeros_i, b(p),
+        thl, qw, jnp.zeros((nz, ncol)), zeros_i, zeros_i, zeros_i,
+        jnp.full((nz, ncol), 0.1), zeros_i, zeros_i, zeros_i, b(p),
         b(zt), b(zi))
     # saturated mean state -> overcast with condensate (except fixed top lvl)
-    assert float(cldfrac[0, 1:].min()) > 0.99
-    assert float(ql[0, 1:].min()) > 1e-4
+    assert float(cldfrac[1:, 0].min()) > 0.99
+    assert float(ql[1:, 0].min()) > 1e-4
 
 
 def test_shoc_main_tke_growth_and_bounds():
     zt, zi = _grid(40)
     ncol, nz = 2, 40
-    b = lambda a: jnp.asarray(np.broadcast_to(a, (ncol,) + np.shape(a)).copy())
+    b = lambda a: jnp.asarray(np.broadcast_to(
+        np.asarray(a, float)[..., None], np.shape(a) + (ncol,)).copy())
     theta = np.where(zt > 1000, 300 + 3e-3 * (zt - 1000), 300.0)
     p = 1e5 * np.exp(-zt / 8500.0)
     pi_ = 1e5 * np.exp(-zi / 8500.0)
@@ -180,16 +183,16 @@ def test_shoc_main_tke_growth_and_bounds():
               pres=b(p), presi=b(pi_), pdel=b(pdel), wthl_sfc=0.1 * ones,
               wqw_sfc=5e-5 * ones, uw_sfc=-0.02 * ones, vw_sfc=0.0 * ones,
               wtracer_sfc=jnp.zeros((ncol, 1)),
-              w_field=jnp.zeros((ncol, nz)), inv_exner=b(1 / exner),
+              w_field=jnp.zeros((nz, ncol)), inv_exner=b(1 / exner),
               phis=0.0 * ones, npbl=nz)
     s = dict(host_dse=b(SC.cp * theta * exner + SC.ggr * zt),
-             tke=jnp.full((ncol, nz), SC.mintke), thetal=b(theta),
+             tke=jnp.full((nz, ncol), SC.mintke), thetal=b(theta),
              qw=b(qw0), u_wind=b(np.full(nz, 5.0)),
-             v_wind=jnp.zeros((ncol, nz)),
-             qtracers=jnp.zeros((ncol, nz, 1)),
-             wthv_sec=jnp.zeros((ncol, nz)), tkh=jnp.zeros((ncol, nz)),
-             tk=jnp.zeros((ncol, nz)), shoc_ql=jnp.zeros((ncol, nz)),
-             shoc_cldfrac=jnp.zeros((ncol, nz)))
+             v_wind=jnp.zeros((nz, ncol)),
+             qtracers=jnp.zeros((nz, ncol, 1)),
+             wthv_sec=jnp.zeros((nz, ncol)), tkh=jnp.zeros((nz, ncol)),
+             tk=jnp.zeros((nz, ncol)), shoc_ql=jnp.zeros((nz, ncol)),
+             shoc_cldfrac=jnp.zeros((nz, ncol)))
     step = jax.jit(lambda st: shoc_main(
         host_dse=st["host_dse"], tke=st["tke"], thetal=st["thetal"],
         qw=st["qw"], u_wind=st["u_wind"], v_wind=st["v_wind"],
@@ -201,13 +204,14 @@ def test_shoc_main_tke_growth_and_bounds():
     tke = np.asarray(s["tke"])
     assert np.isfinite(tke).all()
     # TKE grew near the surface under positive buoyancy flux, within bounds
-    assert tke[:, -1].min() > 10 * SC.mintke
+    assert tke[-1].min() > 10 * SC.mintke
     assert tke.max() <= SC.maxtke
     # surface warmed from the heat flux; column moistened from the
     # moisture flux (mixing may dry the lowest level itself)
-    assert float(s["thetal"][0, -1]) > 300.0
+    assert float(s["thetal"][-1, 0]) > 300.0
     w = pdel / SC.ggr
-    assert float((np.asarray(s["qw"][0]) * w).sum()) > float((qw0 * w).sum())
+    assert float((np.asarray(s["qw"][:, 0]) * w).sum()) > \
+        float((qw0 * w).sum())
     # PBL height is positive and below domain top
     assert 0 < float(diags["pblh"][0]) < 10000.0
 

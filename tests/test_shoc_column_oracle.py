@@ -123,8 +123,14 @@ def test_shoc_main_matches_fortran_oracle(name, col):
     j = {}
     for k, v in col.items():
         a = np.asarray(v, np.float64)
-        j[k] = jnp.asarray(a)[None] if a.ndim else jnp.asarray(
-            np.array([v], np.float64))
+        if a.ndim == 0:
+            j[k] = jnp.asarray(np.array([v], np.float64))
+        elif k == "wtracer_sfc":          # (ntr,) -> (ncol=1, ntr)
+            j[k] = jnp.asarray(a)[None, :]
+        elif k == "qtracers":             # (nlev, ntr) -> (nlev, 1, ntr)
+            j[k] = jnp.asarray(a)[:, None, :]
+        else:                             # (nlev[,+1],) -> (nlev, 1)
+            j[k] = jnp.asarray(a)[:, None]
     st, diags = shm.shoc_main(
         dtime=dtime, nadv=nadv, host_dx=j["host_dx"], host_dy=j["host_dy"],
         thv=j["thv"], zt_grid=j["zt_grid"], zi_grid=j["zi_grid"],
@@ -145,17 +151,17 @@ def test_shoc_main_matches_fortran_oracle(name, col):
                   "wthv_sec": 1e-7}
     for key in ("thetal", "qw", "u_wind", "v_wind", "tke", "tk", "tkh",
                 "wthv_sec", "shoc_ql", "shoc_cldfrac", "host_dse"):
-        got = np.asarray(st[key][0])
+        got = np.asarray(st[key][:, 0])
         np.testing.assert_allclose(
             got, want[key], rtol=2e-6,
             atol=max(atol_floor.get(key, 0.0),
                      1e-10 * max(1.0, np.abs(want[key]).max())),
             err_msg=f"{name}: field {key}")
     np.testing.assert_allclose(
-        np.asarray(st["qtracers"][0]), want["qtracers"], rtol=2e-6,
+        np.asarray(st["qtracers"][:, 0, :]), want["qtracers"], rtol=2e-6,
         atol=1e-16, err_msg=f"{name}: qtracers")
     np.testing.assert_allclose(
-        np.asarray(diags["shoc_ql2"][0]), want["shoc_ql2"], rtol=2e-6,
+        np.asarray(diags["shoc_ql2"][:, 0]), want["shoc_ql2"], rtol=2e-6,
         atol=1e-14, err_msg=f"{name}: shoc_ql2")
     np.testing.assert_allclose(
         float(diags["pblh"][0]), want["pblh"], rtol=2e-6,
