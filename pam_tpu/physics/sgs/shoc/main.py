@@ -594,8 +594,11 @@ def _pblintd_height(z, u, v, ustar, thv, thv_ref, npbl, pblh0, active):
     any_cross = jnp.any(crossed, axis=0)
     # largest k (lowest level) with crossing
     kcross = jnp.argmax(jnp.where(crossed, ks[:, None], -1), axis=0)
-    take = lambda arr, idx: jnp.take_along_axis(arr, idx[None, :],
-                                                axis=0)[0]
+    # per-lane dynamic z-index: a one-hot masked sum keeps the op on the
+    # VPU (take_along_axis lowers to a cross-sublane gather — measured
+    # 0.7 ms/call at the bench shape, ~the whole pblintd budget)
+    take = lambda arr, idx: jnp.sum(
+        jnp.where(ks[:, None] == idx[None, :], arr, 0.0), axis=0)
     r_k = take(rino, kcross)
     r_kp = take(rino, jnp.minimum(kcross + 1, nlev - 1))
     z_k = take(z, kcross)
@@ -675,8 +678,10 @@ def shoc_energy_fixer(dtime, nadv, zt_grid, zi_grid, before, after,
     shoctop = jnp.argmax(active, axis=0)
     shoctop = jnp.where(jnp.any(active, axis=0), shoctop, nlev - 2)
     shoctop = jnp.minimum(shoctop, nlev - 2)
-    take = lambda arr, idx: jnp.take_along_axis(arr, idx[None, :],
-                                                axis=0)[0]
+    # one-hot masked sum instead of a cross-sublane gather (see pblintd)
+    ks_i = jnp.arange(presi.shape[0])
+    take = lambda arr, idx: jnp.sum(
+        jnp.where(ks_i[:, None] == idx[None, :], arr, 0.0), axis=0)
     se_dis = (te_a - te_b) / (presi[-1] - take(presi, shoctop))
     mask = ks[:, None] >= shoctop[None, :]
     return jnp.where(mask, host_dse - se_dis * C.ggr, host_dse)

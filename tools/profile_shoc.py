@@ -1,0 +1,279 @@
+"""Per-stage timing of shoc_main on the TPU (VERDICT r3 item 4).
+
+The round-3 attempt closed the stage bodies over constants, which XLA
+constant-folded into garbage numbers. This profiler passes every stage
+input as an explicit jitted ARGUMENT (the same pattern as
+tools/profile_p3.py, whose numbers reproduce): inputs are materialized
+device arrays from a spun-up production state, each stage is
+``jax.jit(stage)(args...)`` and timed with block_until_ready.
+
+Stage order mirrors shoc_main (shoc.F90:187-565):
+  grid -> obklen -> pblintd -> length -> tke -> implicit solve ->
+  second moments -> third moments -> assumed PDF -> energy fixer.
+
+Usage: python tools/profile_shoc.py   [PAM_PROF_SPINUP=30]
+Writes PERF_optable_shoc.json (stage table) at the repo root.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = []
+
+
+def timeit(fn, args, n=30, name=""):
+    """Wall loop + a separate device trace: the axon-tunnel dispatch is
+    ~2 ms and +-1 ms session noise, which swamps sub-ms stages, so the
+    stage table's authoritative column is the traced device op time
+    ('XLA Ops' line only, async DMA excluded — same methodology as
+    tools/trace_ops.py)."""
+    import tempfile
+    import jax
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from trace_ops import collect_device_events
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    tdir = tempfile.mkdtemp(prefix="pam_shoc_")
+    jax.profiler.start_trace(tdir)
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    dev_ms = sum(us for _, us, _ in collect_device_events(tdir)) / n / 1e3
+    print(f"{name:36s} wall {dt * 1e3:8.3f} ms   device {dev_ms:7.3f} ms")
+    RESULTS.append({"stage": name, "ms": round(dt * 1e3, 3),
+                    "device_ms": round(dev_ms, 3)})
+    return dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pam_tpu.driver.mmf import setup_supercell_mmf
+    from pam_tpu.modules import gcm_forcing
+    from pam_tpu.physics.sgs.shoc import main as shm
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    nens = int(os.environ.get("PAM_BENCH_NENS", "128"))
+    spinup = int(os.environ.get("PAM_PROF_SPINUP", "30"))
+    drv, state = setup_supercell_mmf(
+        nx=65, ny=1, nz=50, nens=nens, xlen=128000.0, ylen=64000.0,
+        zlen=20000.0, micro="p3", sgs="shoc", dt_gcm=900.0, dt_crm_phys=20.0,
+        dycore="spam", dtype=jnp.float32,
+        dycore_kwargs={"linear_system": "velocity"})
+    state = gcm_forcing.compute_gcm_forcing_tendencies(drv.coupler, state,
+                                                       drv.dt_gcm)
+    print(f"devices: {jax.devices()}  nens={nens}  spinup={spinup}")
+    full = jax.jit(drv.crm_phys_step)
+    for _ in range(spinup):
+        state = full(state)
+    jax.block_until_ready(state)
+
+    # dispatch floor: a trivial jitted op through the same dispatch path.
+    # Per-stage times below include ONE such dispatch each; device-time
+    # estimate per stage = ms - dispatch_floor_ms (floor varies by session
+    # through the axon tunnel, so it is measured per run and recorded).
+    tiny = jax.device_put(jnp.ones((8, 128), jnp.float32))
+    t_floor = timeit(jax.jit(lambda x: x + 1.0), (tiny,),
+                     name="dispatch floor (jitted x+1)")
+
+    sgs = drv.sgs
+    t_shoc = timeit(jax.jit(lambda s: sgs.timestep(s, 20.0)), (state,),
+                    name="shoc sgs.timestep (whole)")
+
+    # ---- rebuild the shoc_main inputs exactly as the wrapper does ----
+    # (sgs.py ShocSgs.timestep; materialize as device arrays)
+    import numpy as np
+    from pam_tpu.physics.sgs.shoc.sgs import (_to_cols, _to_cols_batch,
+                                              CONST as C)
+    cpl = drv.coupler
+    shape = state["temp"].shape
+    nens_, nz, ny, nx = shape
+    cloud_name, tracer_names = sgs._micro_fields()
+    rho_d = state["density_dry"]
+    rho_v = jnp.maximum(state["water_vapor"], 0.0)
+    rho_c = jnp.maximum(state[cloud_name], 0.0)
+    rho_total = rho_d + rho_v
+    temp = state["temp"]
+    zint = state["vertical_interface_height"]
+    zmid = state["vertical_midpoint_height"]
+    z0 = zint[:, :1]
+    dz = (zint[:, 1:] - zint[:, :-1])
+    dx = cpl.xlen / cpl.nx
+    dy = dx if cpl.ny == 1 else cpl.ylen / cpl.ny
+    pmid = cpl.pressure(state)
+    qv = rho_v / rho_total
+    ql = rho_c / rho_total
+    exner = (pmid / 1.0e5) ** (C.rgas / C.cp)
+    theta = temp / exner
+    theta_v = theta * (1.0 + 0.61 * qv - ql)
+    theta_l = theta - (1.0 / exner) * (C.lcond / C.cp) * ql
+    bc = lambda a: a[:, :, None, None] * jnp.ones(shape, cpl.dtype)
+    ones_col = jnp.ones((nens_ * ny * nx,), cpl.dtype)
+    zi_full = (zint - z0)[:, :, None, None] * \
+        jnp.ones((nens_, nz + 1, ny, nx), cpl.dtype)
+    zi = _to_cols(zi_full, nz + 1)
+    half = C.ggr * rho_total * dz[:, :, None, None] * 0.5
+    p_up = pmid + half
+    p_dn = pmid - half
+    pint_full = jnp.concatenate(
+        [p_up[:, :1], 0.5 * (p_dn[:, :-1] + p_up[:, 1:]), p_dn[:, -1:]],
+        axis=1)
+    presi = _to_cols(pint_full, nz + 1)
+    sfc = lambda name: jnp.transpose(state[name], (1, 2, 0)).reshape(-1)
+    phis = jnp.tile(z0[:, 0] * C.ggr, ny * nx)
+    tke_in = jnp.maximum(0.004, state["tke"] / rho_total)
+    tr4 = [jnp.maximum(state[n] / rho_total, 0.0) for n in tracer_names]
+    base = [theta_v, bc(zmid - z0), pmid,
+            C.ggr * rho_total * dz[:, :, None, None], state["wvel"],
+            1.0 / exner, C.cp * temp + C.ggr * bc(zmid - z0), tke_in,
+            theta_l, qv + ql, state["uvel"], state["vvel"],
+            state["wthv_sec"], state["tkh"], state["tk"], ql,
+            state["cldfrac"]]
+    cols_all = _to_cols_batch(base + tr4, nz)
+    (thv, zt_grid, pres, pdel, w_field, inv_exner, dse_c, tke, thl, qw,
+     u_wind, v_wind, wthv_sec, tkh, tk, shoc_ql, cldfrac) = \
+        cols_all[:len(base)]
+    qtracers = jnp.stack(cols_all[len(base):], axis=-1)
+    host_dse = dse_c + phis
+    host_dx = dx * ones_col
+    host_dy = dy * ones_col
+    zero_col = 0.0 * ones_col
+    uw_sfc = sfc("sfc_mom_flx_u")
+    vw_sfc = sfc("sfc_mom_flx_v")
+    wtracer_sfc = jnp.zeros_like(qtracers[0])
+    dtime = 20.0
+    npbl = sgs.npbl
+
+    args = [jax.device_put(a) for a in
+            (thv, zt_grid, zi, pres, presi, pdel, w_field, inv_exner,
+             host_dse, tke, thl, qw, u_wind, v_wind, qtracers, wthv_sec,
+             tkh, tk, shoc_ql, cldfrac, phis, host_dx, host_dy, uw_sfc,
+             vw_sfc, zero_col, wtracer_sfc)]
+    (thv, zt_grid, zi, pres, presi, pdel, w_field, inv_exner, host_dse,
+     tke, thl, qw, u_wind, v_wind, qtracers, wthv_sec, tkh, tk, shoc_ql,
+     cldfrac, phis, host_dx, host_dy, uw_sfc, vw_sfc, zero_col,
+     wtracer_sfc) = args
+    jax.block_until_ready(args)
+
+    t_main = timeit(jax.jit(
+        lambda *a: shm.shoc_main(
+            dtime=dtime, nadv=1, host_dx=a[21], host_dy=a[22], thv=a[0],
+            zt_grid=a[1], zi_grid=a[2], pres=a[3], presi=a[4], pdel=a[5],
+            wthl_sfc=a[25], wqw_sfc=a[25], uw_sfc=a[23], vw_sfc=a[24],
+            wtracer_sfc=a[26], w_field=a[6], inv_exner=a[7], phis=a[20],
+            host_dse=a[8], tke=a[9], thetal=a[10], qw=a[11], u_wind=a[12],
+            v_wind=a[13], qtracers=a[14], wthv_sec=a[15], tkh=a[16],
+            tk=a[17], shoc_ql=a[18], shoc_cldfrac=a[19], npbl=npbl)),
+        tuple(args), name="shoc_main (columns only)")
+
+    # ---- individual stages, explicit args ----
+    grid = jax.jit(shm.shoc_grid)
+    dz_zt, dz_zi, rho_zt = grid(zt_grid, zi, pdel)
+    jax.block_until_ready((dz_zt, dz_zi, rho_zt))
+    timeit(grid, (zt_grid, zi, pdel), name="shoc_grid")
+
+    shoc_qv = qw - shoc_ql
+    obk = jax.jit(shm.shoc_diag_obklen)
+    ustar, kbfs, obklen = obk(uw_sfc, vw_sfc, zero_col, zero_col,
+                              thl[-1], shoc_ql[-1], shoc_qv[-1])
+    jax.block_until_ready(ustar)
+    timeit(obk, (uw_sfc, vw_sfc, zero_col, zero_col, thl[-1],
+                 shoc_ql[-1], shoc_qv[-1]), name="shoc_diag_obklen")
+
+    pbl = jax.jit(lambda *a: shm.pblintd(*a, npbl=npbl))
+    pblh = pbl(zt_grid, zi, thl, shoc_ql, shoc_qv, u_wind, v_wind, ustar,
+               obklen, kbfs, cldfrac)
+    jax.block_until_ready(pblh)
+    timeit(pbl, (zt_grid, zi, thl, shoc_ql, shoc_qv, u_wind, v_wind,
+                 ustar, obklen, kbfs, cldfrac), name="pblintd")
+
+    length = jax.jit(shm.shoc_length)
+    brunt, shoc_mix = length(host_dx, host_dy, zt_grid, zi, dz_zt, tke, thv)
+    jax.block_until_ready(brunt)
+    timeit(length, (host_dx, host_dy, zt_grid, zi, dz_zt, tke, thv),
+           name="shoc_length")
+
+    tkefn = jax.jit(lambda *a: shm.shoc_tke(dtime, *a))
+    tke2, tk2, tkh2, isotropy = tkefn(wthv_sec, shoc_mix, dz_zi, dz_zt,
+                                      pres, u_wind, v_wind, brunt, obklen,
+                                      zt_grid, zi, pblh, tke, tk, tkh)
+    jax.block_until_ready(tke2)
+    timeit(tkefn, (wthv_sec, shoc_mix, dz_zi, dz_zt, pres, u_wind, v_wind,
+                   brunt, obklen, zt_grid, zi, pblh, tke, tk, tkh),
+           name="shoc_tke")
+
+    upd = jax.jit(lambda *a: shm.update_prognostics_implicit(dtime, *a))
+    o = upd(dz_zt, dz_zi, rho_zt, zt_grid, zi, tk2, tkh2, uw_sfc, vw_sfc,
+            zero_col, zero_col, wtracer_sfc, thl, qw, qtracers, tke2,
+            u_wind, v_wind)
+    jax.block_until_ready(o)
+    timeit(upd, (dz_zt, dz_zi, rho_zt, zt_grid, zi, tk2, tkh2, uw_sfc,
+                 vw_sfc, zero_col, zero_col, wtracer_sfc, thl, qw,
+                 qtracers, tke2, u_wind, v_wind),
+           name="update_prognostics_implicit")
+    thl2, qw2, qtr2, tke3, u2, v2 = o
+
+    mom_fn = jax.jit(shm.diag_second_shoc_moments)
+    mom = mom_fn(thl2, qw2, u2, v2, tke3, isotropy, tkh2, tk2, dz_zi,
+                 zt_grid, zi, shoc_mix, zero_col, zero_col, uw_sfc, vw_sfc)
+    jax.block_until_ready(mom)
+    timeit(mom_fn, (thl2, qw2, u2, v2, tke3, isotropy, tkh2, tk2, dz_zi,
+                    zt_grid, zi, shoc_mix, zero_col, zero_col, uw_sfc,
+                    vw_sfc), name="diag_second_shoc_moments")
+
+    w3_fn = jax.jit(shm.diag_third_shoc_moments)
+    w3 = w3_fn(mom["w_sec"], mom["thl_sec"], mom["wthl_sec"], isotropy,
+               brunt, thl2, tke3, dz_zt, dz_zi, zt_grid, zi)
+    jax.block_until_ready(w3)
+    timeit(w3_fn, (mom["w_sec"], mom["thl_sec"], mom["wthl_sec"], isotropy,
+                   brunt, thl2, tke3, dz_zt, dz_zi, zt_grid, zi),
+           name="diag_third_shoc_moments")
+
+    pdf_fn = jax.jit(shm.shoc_assumed_pdf)
+    pdf = pdf_fn(thl2, qw2, w_field, mom["thl_sec"], mom["qw_sec"],
+                 mom["wthl_sec"], mom["w_sec"], mom["wqw_sec"],
+                 mom["qwthl_sec"], w3, pres, zt_grid, zi)
+    jax.block_until_ready(pdf)
+    timeit(pdf_fn, (thl2, qw2, w_field, mom["thl_sec"], mom["qw_sec"],
+                    mom["wthl_sec"], mom["w_sec"], mom["wqw_sec"],
+                    mom["qwthl_sec"], w3, pres, zt_grid, zi),
+           name="shoc_assumed_pdf")
+
+    out = {
+        "config": "shoc stages, production P3+SHOC state, nens=%d" % nens,
+        "dispatch_floor_ms": round(t_floor * 1e3, 3),
+        "whole_wrapper_ms": round(t_shoc * 1e3, 3),
+        "shoc_main_ms": round(t_main * 1e3, 3),
+        "note": ("'device_ms' (traced 'XLA Ops' timeline, dispatch-free) "
+                 "is the authoritative column; 'ms' is wall incl. ~2 ms "
+                 "axon-tunnel dispatch. The fused step hides conversions "
+                 "and re-fuses across stage boundaries, so stages sum to "
+                 "more than shoc_main's own device time."),
+        "stages": RESULTS,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PERF_optable_shoc.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
