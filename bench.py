@@ -83,29 +83,27 @@ def main():
     mb = os.environ.get("PAM_BENCH_ENS_MICROBATCH")
     mb = int(mb) if mb else None
 
-    def run_config(micro, sgs):
-        drv_nens = mb if mb else nens
+    def run_config(micro, sgs, run_nens=None, chunk=None):
+        run_nens = run_nens or nens
+        drv_nens = chunk if chunk else (mb if mb else run_nens)
         drv, state = setup_supercell_mmf(
             nx=nx, ny=ny, nz=nz, nens=drv_nens, xlen=128000.0,
             ylen=64000.0, zlen=20000.0, micro=micro, sgs=sgs, dt_gcm=900.0,
             dt_crm_phys=20.0, dycore=dycore, dtype=jnp.float32,
             dycore_kwargs=dycore_kwargs,
             micro_kwargs=micro_kwargs if micro == "kessler" else None)
-        if mb and mb != nens:
-            # chunk-sized driver + full-ensemble state
+        if drv_nens != run_nens:
+            # chunk-sized driver + full-ensemble state; crm_phys_step
+            # auto-routes through the micro-batched path (driver/mmf.py)
             _, state = setup_supercell_mmf(
-                nx=nx, ny=ny, nz=nz, nens=nens, xlen=128000.0,
+                nx=nx, ny=ny, nz=nz, nens=run_nens, xlen=128000.0,
                 ylen=64000.0, zlen=20000.0, micro=micro, sgs=sgs,
                 dt_gcm=900.0, dt_crm_phys=20.0, dycore=dycore,
                 dtype=jnp.float32, dycore_kwargs=dycore_kwargs)
         state = gcm_forcing.compute_gcm_forcing_tendencies(
             drv.coupler, state, drv.dt_gcm)
 
-        if mb and mb != nens:
-            step = jax.jit(lambda s: drv.crm_phys_step_microbatched(
-                s, nens // mb))
-        else:
-            step = jax.jit(drv.crm_phys_step)
+        step = jax.jit(drv.crm_phys_step)
         t0 = time.time()
         state = step(state)
         jax.block_until_ready(state["temp"])
@@ -127,18 +125,18 @@ def main():
             log("ERROR: non-finite state after benchmark run")
             sys.exit(1)
 
-        gridpoints = nx * ny * nz * nens
+        gridpoints = nx * ny * nz * run_nens
         value = gridpoints * n_crm_steps / elapsed
-        log(f"[micro={micro} sgs={sgs}] {n_crm_steps} CRM steps x "
-            f"{gridpoints} pts in {elapsed:.3f}s")
+        log(f"[micro={micro} sgs={sgs} nens={run_nens} drv={drv_nens}] "
+            f"{n_crm_steps} CRM steps x {gridpoints} pts in {elapsed:.3f}s")
         return value, elapsed / n_crm_steps * 1e3
 
-    def emit(value, ms_step, micro, sgs, vs_baseline=None):
+    def emit(value, ms_step, micro, sgs, vs_baseline=None, extra=""):
         rec = {
             "metric": "supercell CRM grid-points*steps/s per chip",
             "value": round(value, 1),
             "unit": "gridpoint-steps/s",
-            "config": f"micro={micro},sgs={sgs},dycore={dycore}",
+            "config": f"micro={micro},sgs={sgs},dycore={dycore}" + extra,
             "ms_per_step": round(ms_step, 2),
         }
         if vs_baseline is not None:
@@ -172,8 +170,19 @@ def main():
     # the driver parses the final JSON line; it stays comparable with
     # BENCH_BASELINE.json across rounds)
     v_p3, ms_p3 = run_config("p3", "shoc")
+    # production-regime ensemble lines of record (VERDICT r3 item 5):
+    # nens=512 with the auto-selected VMEM-resident chunk
+    from pam_tpu.driver.mmf import pick_ens_chunk
+    big = int(os.environ.get("PAM_BENCH_NENS_BIG", "512"))
+    ck = pick_ens_chunk(nx, ny, nz, jnp.float32, big)
+    v_p3b, ms_p3b = run_config("p3", "shoc", run_nens=big, chunk=ck)
+    v_kb, ms_kb = run_config("kessler", "none", run_nens=big, chunk=ck)
     v_k, ms_k = run_config("kessler", "none")
     emit(v_p3, ms_p3, "p3", "shoc")
+    emit(v_p3b, ms_p3b, "p3", "shoc",
+         extra=f",nens={big},ens_chunk={ck}")
+    emit(v_kb, ms_kb, "kessler", "none",
+         extra=f",nens={big},ens_chunk={ck}")
     emit(v_k, ms_k, "kessler", "none", baseline_ratio(v_k))
 
 

@@ -15,7 +15,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, args, n=20, name=""):
+    """Wall loop + device trace: 'device' (XLA Ops timeline, dispatch-free)
+    is the authoritative column — wall through the axon tunnel carries
+    ~1-2 ms session-dependent dispatch (see tools/profile_shoc.py)."""
+    import tempfile
     import jax
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from trace_ops import collect_device_events
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -23,7 +29,14 @@ def timeit(fn, args, n=20, name=""):
         out = fn(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n
-    print(f"{name:34s} {dt * 1e3:8.3f} ms")
+    tdir = tempfile.mkdtemp(prefix="pam_p3_")
+    jax.profiler.start_trace(tdir)
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    dev_ms = sum(us for _, us, _ in collect_device_events(tdir)) / n / 1e3
+    print(f"{name:34s} wall {dt * 1e3:8.3f} ms   device {dev_ms:7.3f} ms")
     return dt
 
 
