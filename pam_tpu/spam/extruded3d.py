@@ -316,17 +316,21 @@ class Tendencies3D:
         ft1_int = 0.25 * (sy[..., 1:-2, :, :] + sy[..., 2:-1, :, :])
         FT1 = jnp.concatenate([0.5 * sy[..., 0:1, :, :], ft1_int,
                                0.5 * sy[..., -1:, :, :]], axis=AXZ)
-        # FTW0 = Wxz_w(F0); FTW1 = Wyz_w(F1) (both +, boundary coeff 0.25)
+        # FTW0 = Wxz_w(F0); FTW1 = Wyz_w(F1) (both +, boundary coeff
+        # 0.25); the boundary rows read the INTERIOR-shifted dual layer
+        # (compute_W{x,y}z_w_bottom reads Uvar(k+1), _top reads Uvar(k) —
+        # wedge.h:880-905 and the Wyz analogs; pre-round-4 rows used
+        # F[0]/F[nz-1], found by tests/spam_oracle.py)
         s0 = F[0] + rx(F[0], 1)
         ftw0 = jnp.concatenate(
-            [0.25 * s0[..., 0:1, :, :],
+            [0.25 * s0[..., 1:2, :, :],
              0.25 * (s0[..., 1:-2, :, :] + s0[..., 2:-1, :, :]),
-             0.25 * s0[..., -1:, :, :]], axis=AXZ)
+             0.25 * s0[..., -2:-1, :, :]], axis=AXZ)
         s1 = F[1] + ry(F[1], 1)
         ftw1 = jnp.concatenate(
-            [0.25 * s1[..., 0:1, :, :],
+            [0.25 * s1[..., 1:2, :, :],
              0.25 * (s1[..., 1:-2, :, :] + s1[..., 2:-1, :, :]),
-             0.25 * s1[..., -1:, :, :]], axis=AXZ)
+             0.25 * s1[..., -2:-1, :, :]], axis=AXZ)
         # FTxy = W2D(F) per level (wedge.h compute_W:790-805)
         ftxy0 = -0.25 * (F[1] + rx(F[1], -1) + ry(F[1], 1) +
                          rx(ry(F[1], 1), -1))
@@ -568,12 +572,17 @@ class Tendencies3D:
         return denstend, vtend, wtend
 
     # ------------------------------------------------------------------
-    def apply_symplectic(self, dens, v, w, F, FW, B, dt):
-        """(extrudedmodel.h apply_symplectic:2173-2486, ndims=2)."""
-        FT, FTW, FTxy = self.tangent_fluxes(F, FW)
+    def apply_symplectic(self, dens, v, w, F, FW, B, dt, F_recon=None,
+                         FW_recon=None):
+        """(extrudedmodel.h apply_symplectic:2173-2486, ndims=2).
+        F_recon/FW_recon: the needs_to_recompute_F=true midpoint fluxes
+        driving FT/FTW + recon upwinding (see SpamTendencies)."""
+        if F_recon is None:
+            F_recon, FW_recon = F, FW
+        FT, FTW, FTxy = self.tangent_fluxes(F_recon, FW_recon)
         qhz, qxy = self.q_and_f(dens, v, w)
         densrecon, densvertrecon, qhzrecon, qhzvertrecon, qxyrecon = \
-            self.recons(dens, qhz, qxy, F, FW, FT, FTW, FTxy)
+            self.recons(dens, qhz, qxy, F_recon, FW_recon, FT, FTW, FTxy)
         densrecon, densvertrecon = self.fct(dens, densrecon, densvertrecon,
                                             F, FW, dt)
         return self.tendencies_final(densrecon, densvertrecon, qhzrecon,

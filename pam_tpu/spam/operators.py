@@ -139,12 +139,16 @@ def Wxz_u(FW):
 def Wxz_w(F):
     """Tangent average of F (dual layers, nz) onto w-points (primal layers,
     nz-1): FTW[k] = 0.25*(F[k,i]+F[k,i+1]+F[k+1,i]+F[k+1,i+1]) interior;
-    FTW[0] = 0.25*(F[0,i]+F[0,i+1]); FTW[nz-2] = 0.25*(F[nz-1,i]+F[nz-1,i+1])
-    (wedge.h:858-900; note boundary coefficient is 0.25, not 0.5)."""
+    the BOUNDARY rows read the interior-shifted dual layer —
+    FTW[0] = 0.25*(F[1,i]+F[1,i+1]) (compute_Wxz_w_bottom reads
+    Uvar(k+1), wedge.h:891-902) and FTW[nz-2] = 0.25*(F[nz-2,i]+
+    F[nz-2,i+1]) (compute_Wxz_w_top reads Uvar(k), wedge.h:880-889);
+    note the boundary coefficient is 0.25, not 0.5. (The pre-round-4
+    boundary rows used F[0]/F[nz-1] — found by tests/spam_oracle.py.)"""
     s = F + rollm(F, 1)  # F[k,i]+F[k,i+1]
     interior = 0.25 * (s[..., 1:-2, :] + s[..., 2:-1, :])  # k=1..nz-3
-    bot = 0.25 * s[..., 0:1, :]
-    top = 0.25 * s[..., -1:, :]
+    bot = 0.25 * s[..., 1:2, :]
+    top = 0.25 * s[..., -2:-1, :]
     return jnp.concatenate([bot, interior, top], axis=AXZ)
 
 

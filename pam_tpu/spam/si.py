@@ -639,9 +639,17 @@ def _discrete_gradient(tend, x, xn, geop, pts, wts):
 def _apply_symplectic_full(tend, xm, Fa, FWa, Ba, dt):
     """apply_symplectic + the model's post hook (anelastic pressure
     perturbation / rho pinning; SI_Newton.h:86-89 apply_symplectic +
-    add_pressure_perturbation)."""
+    add_pressure_perturbation). Inside the SI iterations the reference
+    calls apply_symplectic with needs_to_recompute_F=true, so the FT/FTW
+    wedges and recon upwinding run on the MIDPOINT mass fluxes
+    he(xm)*u(xm) while FCT and the final tendencies keep the averaged
+    Fa/FWa (extrudedmodel.h:2188-2204) — recompute them here (the two
+    Hodge-star products are cheap next to the recon pipeline; matched by
+    tests/spam_oracle.py)."""
+    F2, FW2, _, _ = tend.functional_derivatives(xm[0], xm[1], xm[2],
+                                                jnp.zeros_like(xm[0][0]))
     dxd, dxv, dxw = tend.apply_symplectic(xm[0], xm[1], xm[2], Fa, FWa, Ba,
-                                          dt)
+                                          dt, F_recon=F2, FW_recon=FW2)
     post = getattr(tend, "post_symplectic", None)
     if post is not None:
         dxd, dxv, dxw = post(dxd, dxv, dxw)

@@ -365,17 +365,26 @@ class SpamTendencies:
         return denstend, vtend, wtend
 
     # ------------------------------------------------------------------
-    def apply_symplectic(self, dens, v, w, F, FW, B, dt):
+    def apply_symplectic(self, dens, v, w, F, FW, B, dt, F_recon=None,
+                         FW_recon=None):
         """Symplectic tendency assembly given functional derivatives
         (extrudedmodel.h apply_symplectic:2173-2486). For semi-implicit
-        stepping, F/FW/B may be quadrature-averaged over a discrete
-        gradient while the PV/recon state (dens, v, w) is the midpoint
-        (time_integrator.h:51-70)."""
-        FT = op.Wxz_u(FW)
-        FTW = op.Wxz_w(F)
+        stepping, F/FW/B are quadrature-averaged over a discrete gradient
+        while the PV/recon state (dens, v, w) is the midpoint
+        (time_integrator.h:51-70); in that case the reference recomputes
+        the FT/FTW wedges and every recon UPWINDING from he(xm)*u(xm)
+        (needs_to_recompute_F=true: F2VAR/FW2VAR, extrudedmodel.h:
+        2188-2204) while the FCT edge fluxes and final tendencies keep
+        the averaged F/FW — pass those midpoint fluxes as
+        F_recon/FW_recon (default: F/FW, the compute_rhs path where the
+        two coincide)."""
+        if F_recon is None:
+            F_recon, FW_recon = F, FW
+        FT = op.Wxz_u(FW_recon)
+        FTW = op.Wxz_w(F_recon)
         qhz = self.q_and_f(dens, v, w)
         densrecon, densvertrecon, qhzrecon, qhzvertrecon = \
-            self.recons(dens, qhz, F, FW, FT, FTW)
+            self.recons(dens, qhz, F_recon, FW_recon, FT, FTW)
         densrecon, densvertrecon = self.fct(dens, densrecon, densvertrecon,
                                             F, FW, dt)
         return self.tendencies_final(densrecon, densvertrecon, qhzrecon,
