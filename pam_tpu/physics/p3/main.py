@@ -876,14 +876,21 @@ def homogeneous_freezing(t, inv_exner, qc, nc, qr, nr, qi, ni, qm, bm, th):
 
 # -------------------------------------------------------------------- part 3
 def p3_main_part3(inv_exner, cld_frac_l, cld_frac_r, cld_frac_i, rho,
-                  inv_rho, rhofaci, qv, th, qc, nc, qr, nr, qi, ni, qm, bm):
+                  inv_rho, rhofaci, qv, th, qc, nc, qr, nr, qi, ni, qm, bm,
+                  vap_liq_exchange=None):
     """Final mass/number consistency + diagnostic fields
     (micro_p3.F90 p3_main_part3:977-1137). Returns (state dict, diag dict).
+
+    vap_liq_exchange: part2's running exchange diagnostic — the clipping
+    branches here subtract the clipped qc/qr from it
+    (micro_p3.F90:1030-1032, 1056-1058); None -> tracked from zero.
     """
     lv, ls = C.latent_heat_vapor, C.latent_heat_sublim
     ice_tab = jnp.asarray(tbl.load_ice_tables()[0])
     eff_qc = jnp.full_like(qc, 10.0e-6)
     eff_qi = jnp.full_like(qc, 25.0e-6)
+    if vap_liq_exchange is None:
+        vap_liq_exchange = jnp.zeros_like(qc)
 
     # cloud
     ok = qc >= QSMALL
@@ -895,6 +902,8 @@ def p3_main_part3(inv_exner, cld_frac_l, cld_frac_r, cld_frac_i, rho,
     nc = jnp.where(ok, nc_in * cld_frac_l, 0.0)
     qv = jnp.where(ok, qv, qv + qc)
     th = jnp.where(ok, th, th - inv_exner * qc * lv * C.inv_cp)
+    vap_liq_exchange = jnp.where(ok, vap_liq_exchange,
+                                 vap_liq_exchange - qc)
     qc = jnp.where(ok, qc, 0.0)
 
     # rain
@@ -907,6 +916,8 @@ def p3_main_part3(inv_exner, cld_frac_l, cld_frac_r, cld_frac_i, rho,
     nr = jnp.where(ok, nr_in * cld_frac_r, nr)
     qv = jnp.where(ok, qv, qv + qr)
     th = jnp.where(ok, th, th - inv_exner * qr * lv * C.inv_cp)
+    vap_liq_exchange = jnp.where(ok, vap_liq_exchange,
+                                 vap_liq_exchange - qr)
     qr = jnp.where(ok, qr, 0.0)
 
     # ice
@@ -949,7 +960,8 @@ def p3_main_part3(inv_exner, cld_frac_l, cld_frac_r, cld_frac_i, rho,
     diag = dict(diag_eff_radius_qc=eff_qc, diag_eff_radius_qi=eff_qi,
                 rho_qi=rho_qi, diag_vm_qi=diag_vm_qi,
                 diag_diam_qi=diag_diam_qi, diag_equiv_reflectivity=dbz,
-                mu_c=mu_c, lamc=lamc)
+                mu_c=mu_c, lamc=lamc, ze_rain=ze_rain, ze_ice=ze_ice,
+                vap_liq_exchange=vap_liq_exchange)
     return state, diag
 
 
@@ -1000,9 +1012,12 @@ def p3_main(qc, nc, qr, nr, qv, th, qi, qm, ni, bm, pres, dz, nc_nuceat_tend,
     state, diag = p3_main_part3(inv_exner, cld_frac_l, cld_frac_r,
                                 cld_frac_i, rho, inv_rho, st["rhofaci"],
                                 st["qv"], th2, qc2, nc2, qr2, nr2, qi2, ni2,
-                                qm2, bm2)
+                                qm2, bm2,
+                                vap_liq_exchange=diags2["vap_liq_exchange"])
     state["precip_liq_surf"] = prt_liq_c + prt_liq_r
     state["precip_ice_surf"] = prt_ice
+    vle = diag.pop("vap_liq_exchange")
     diag.update(diags2)
+    diag["vap_liq_exchange"] = vle
     diag["temp"] = state["th"] * exner
     return state, diag

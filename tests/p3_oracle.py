@@ -1218,8 +1218,18 @@ def homogeneous(c):
 
 
 def part3(c):
+    """p3_main_part3 (:977-1137) incl. the diagnostic outputs: effective
+    radii, radar reflectivities (ze_rain/ze_ice/dBZ), mass-weighted ice
+    fall speed / mean diameter / bulk density, and the vap_liq_exchange
+    updates of the clipping branches (:1030-1032, 1056-1058)."""
     ice_tab, _ = ice_tables()
     nz = len(c["qc"])
+    for name, init in (("diag_eff_radius_qc", 10.0e-6),
+                       ("diag_eff_radius_qi", 25.0e-6),
+                       ("ze_rain", 0.0), ("ze_ice", 0.0),
+                       ("diag_vm_qi", 0.0), ("diag_diam_qi", 0.0),
+                       ("rho_qi", 0.0), ("diag_equiv_reflectivity", 0.0)):
+        c[name] = np.full(nz, init)
     for k in range(nz - 1, -1, -1):
         # cloud
         if c["qc"][k] >= QSMALL:
@@ -1227,10 +1237,12 @@ def part3(c):
             nc_in = c["nc"][k] / c["cld_frac_l"][k]
             nc_in, mu_c, lamc, _, _ = get_cloud_dsd2(qc_in, nc_in,
                                                      c["rho"][k])
+            c["diag_eff_radius_qc"][k] = 0.5 * (mu_c + 3.0) / lamc
             c["nc"][k] = nc_in * c["cld_frac_l"][k]
         else:
             c["qv"][k] += c["qc"][k]
             c["th"][k] -= c["inv_exner"][k] * c["qc"][k] * LV * INV_CP
+            c["vap_liq_exchange"][k] -= c["qc"][k]
             c["qc"][k] = 0.0
             c["nc"][k] = 0.0
         # rain
@@ -1239,9 +1251,13 @@ def part3(c):
             nr_in = c["nr"][k] / c["cld_frac_r"][k]
             nr_in, mu_r, lamr, _, _ = get_rain_dsd2(qr_in, nr_in)
             c["nr"][k] = nr_in * c["cld_frac_r"][k]
+            ze = (c["nr"][k] * (mu_r + 6.0) * (mu_r + 5.0) * (mu_r + 4.0) *
+                  (mu_r + 3.0) * (mu_r + 2.0) * (mu_r + 1.0) / lamr ** 6)
+            c["ze_rain"][k] = max(ze, 1e-22)
         else:
             c["qv"][k] += c["qr"][k]
             c["th"][k] -= c["inv_exner"][k] * c["qr"][k] * LV * INV_CP
+            c["vap_liq_exchange"][k] -= c["qr"][k]
             c["qr"][k] = 0.0
             c["nr"][k] = 0.0
         # ice
@@ -1257,16 +1273,33 @@ def part3(c):
             ni_in = impose_max_total_ni(ni_in, c["inv_rho"][k])
             dumi, dumjj, dumii, dum1, dum4, dum5 = indices_1a(
                 qi_in, max(ni_in, NSMALL), qm_in, rhop)
+            tv_fallspd = access_ice(ice_tab, dumjj, dumii, dumi, 2,
+                                    dum1, dum4, dum5)
+            tv_eff_rad = access_ice(ice_tab, dumjj, dumii, dumi, 6,
+                                    dum1, dum4, dum5)
             tv_lammax = access_ice(ice_tab, dumjj, dumii, dumi, 7,
                                    dum1, dum4, dum5)
             tv_lammin = access_ice(ice_tab, dumjj, dumii, dumi, 8,
                                    dum1, dum4, dum5)
+            tv_refl = access_ice(ice_tab, dumjj, dumii, dumi, 9,
+                                 dum1, dum4, dum5)
+            tv_diam = access_ice(ice_tab, dumjj, dumii, dumi, 11,
+                                 dum1, dum4, dum5)
+            tv_bulk = access_ice(ice_tab, dumjj, dumii, dumi, 12,
+                                 dum1, dum4, dum5)
             ni_in = min(ni_in, tv_lammax * ni_in)
             ni_in = max(ni_in, tv_lammin * ni_in)
             c["ni"][k] = ni_in * c["cld_frac_i"][k]
             if c["qm"][k] < QSMALL:
                 c["qm"][k] = 0.0
                 c["bm"][k] = 0.0
+            c["diag_vm_qi"][k] = tv_fallspd * c["rhofaci"][k]
+            c["diag_eff_radius_qi"][k] = tv_eff_rad
+            c["diag_diam_qi"][k] = tv_diam
+            c["rho_qi"][k] = tv_bulk
+            ze_i = c["ze_ice"][k] + 0.1892 * tv_refl * ni_in * c["rho"][k]
+            ze_i = max(ze_i, 1e-22)
+            c["ze_ice"][k] = ze_i * c["cld_frac_i"][k]
         else:
             c["qv"][k] += c["qi"][k]
             c["th"][k] -= c["inv_exner"][k] * c["qi"][k] * LS * INV_CP
@@ -1274,6 +1307,10 @@ def part3(c):
             c["ni"][k] = 0.0
             c["qm"][k] = 0.0
             c["bm"][k] = 0.0
+            c["diag_diam_qi"][k] = 0.0
+        with np.errstate(divide="ignore"):
+            c["diag_equiv_reflectivity"][k] = 10.0 * np.log10(
+                (c["ze_rain"][k] + c["ze_ice"][k]) * 1e18)
         if c["qr"][k] < QSMALL:
             c["nr"][k] = 0.0
 
@@ -1315,4 +1352,9 @@ def p3_main_oracle(col, dt):
         part3(c)
     state = {k: c[k] for k in ("qc", "nc", "qr", "nr", "qv", "th", "qi",
                                "ni", "qm", "bm")}
-    return state, prt_liq, prt_ice
+    diag_keys = ("diag_eff_radius_qc", "diag_eff_radius_qi", "ze_rain",
+                 "ze_ice", "diag_vm_qi", "diag_diam_qi", "rho_qi",
+                 "diag_equiv_reflectivity", "vap_liq_exchange",
+                 "liq_ice_exchange", "vap_ice_exchange")
+    diag = {k: c[k] for k in diag_keys if k in c}
+    return state, prt_liq, prt_ice, diag

@@ -232,3 +232,83 @@ def test_shoc_tke_chain_matches_fortran_oracle():
         np.testing.assert_allclose(float(iso[k, 0]), e_iso, rtol=1e-10)
         np.testing.assert_allclose(float(tk[k, 0]), e_tk, rtol=1e-10)
         np.testing.assert_allclose(float(tkh[k, 0]), e_tkh, rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Table interpolation: algebraic-identity tolerance (VERDICT r3 item 8).
+# The hat-weight contraction (pam_tpu/physics/p3/tables.py) claims EXACT
+# algebraic equivalence to the reference's nested scalar lerps
+# (access_lookup_table, micro_p3.F90:1508-1615) — so it is held to 1e-12,
+# not the 2e-6 mask-reassociation budget of the process chains.
+# ---------------------------------------------------------------------------
+
+def test_table_contractions_match_scalar_lerps_tightly():
+    import p3_oracle as orc
+    from pam_tpu.physics.p3 import tables as tbl
+
+    ice_tab, coll_tab = (np.asarray(a) for a in tbl.load_ice_tables())
+    vn_t, vm_t, revap_t = (np.asarray(a) for a in tbl.build_rain_tables())
+    rng = np.random.default_rng(17)
+    n = 64
+    qi = 10.0 ** rng.uniform(-9, -3, n)
+    ni = 10.0 ** rng.uniform(2, 7, n)
+    qm = qi * rng.uniform(0.0, 1.0, n)
+    rhop = rng.uniform(50.0, 900.0, n)
+    qr = 10.0 ** rng.uniform(-9, -3, n)
+    nr = 10.0 ** rng.uniform(2, 7, n)
+    mu_r = np.full(n, float(p3m.MU_R_CONSTANT))
+    lamr = 10.0 ** rng.uniform(2.3, 5.0, n)
+
+    di, djj, dii, d1, d4, d5 = (np.asarray(a) for a in tbl.indices_1a(
+        jnp.asarray(qi), jnp.asarray(ni), jnp.asarray(qm),
+        jnp.asarray(rhop)))
+    dj, d3 = (np.asarray(a) for a in tbl.indices_1b(jnp.asarray(qr),
+                                                    jnp.asarray(nr)))
+    ii3, jj3, rii3, rjj3 = (np.asarray(a) for a in tbl.indices_3(
+        jnp.asarray(mu_r), jnp.asarray(lamr)))
+
+    # ice table: all 12 entries, single + batched contraction forms
+    for idx0 in range(12):
+        got = np.asarray(tbl.access_ice_table(
+            jnp.asarray(ice_tab), djj, dii, di, idx0, jnp.asarray(d1),
+            jnp.asarray(d4), jnp.asarray(d5)))
+        want = np.array([orc.access_ice(ice_tab, djj[p] + 1, dii[p] + 1,
+                                        di[p] + 1, idx0 + 1, d1[p] + 1,
+                                        d4[p] + 1, d5[p] + 1)
+                         for p in range(n)])
+        np.testing.assert_allclose(got, want, rtol=1e-12,
+                                   err_msg=f"ice entry {idx0}")
+    multi = tbl.access_ice_table_multi(jnp.asarray(ice_tab), (1, 6, 9),
+                                       jnp.asarray(d1), jnp.asarray(d4),
+                                       jnp.asarray(d5))
+    for m, idx0 in zip(multi, (1, 6, 9)):
+        want = np.array([orc.access_ice(ice_tab, djj[p] + 1, dii[p] + 1,
+                                        di[p] + 1, idx0 + 1, d1[p] + 1,
+                                        d4[p] + 1, d5[p] + 1)
+                         for p in range(n)])
+        np.testing.assert_allclose(np.asarray(m), want, rtol=1e-12,
+                                   err_msg=f"ice multi entry {idx0}")
+
+    # collection table, both entries
+    for idx0 in range(2):
+        got = np.asarray(tbl.access_collect_table(
+            jnp.asarray(coll_tab), djj, dii, dj, di, idx0,
+            jnp.asarray(d1), jnp.asarray(d3), jnp.asarray(d4),
+            jnp.asarray(d5)))
+        want = np.array([orc.access_coll(coll_tab, djj[p] + 1, dii[p] + 1,
+                                         dj[p] + 1, di[p] + 1, idx0 + 1,
+                                         d1[p] + 1, d3[p] + 1, d4[p] + 1,
+                                         d5[p] + 1) for p in range(n)])
+        np.testing.assert_allclose(got, want, rtol=1e-12,
+                                   err_msg=f"coll entry {idx0}")
+
+    # rain tables
+    for tab, nm in ((vn_t, "vn"), (vm_t, "vm"), (revap_t, "revap")):
+        got = np.asarray(tbl.access_rain_table(
+            jnp.asarray(tab), ii3, jj3, jnp.asarray(rii3),
+            jnp.asarray(rjj3)))
+        want = np.array([orc.access_rain(tab, ii3[p] + 1, jj3[p] + 1,
+                                         rii3[p] + 1, rjj3[p] + 1)
+                         for p in range(n)])
+        np.testing.assert_allclose(got, want, rtol=1e-12,
+                                   err_msg=f"rain table {nm}")
