@@ -128,6 +128,76 @@ def weno_coefs_list(u, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma):
     return out
 
 
+def weno_edges_list(u, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma, c2g):
+    """Both limited edge values (left, right) WITHOUT materializing the
+    blended coefficient arrays.
+
+    Algebraically identical to ``weno_coefs_list`` followed by
+    ``_eval_edge_list`` (sum reassociated: edge = sum_i w_i * e_i with
+    e_i the candidate polynomial evaluated at the edge, instead of
+    sum_c g_c * (sum_i w_i a_ic)) — but the traced graph emits TWO
+    edge arrays per call instead of ``ord`` coefficient arrays. On the
+    bench config the 12-density recon fusion previously materialized 14
+    full-size tuple outputs (~280 MB per SI evaluation, ~40% of its
+    runtime in output writes, PERF_optable round 4); candidates' edge
+    evaluations fold into the same fusion at no extra VPU cost (the
+    per-candidate g.a contractions replace the g.aw one).
+    """
+    import numpy as np
+    ord = len(u)
+    hs = (ord + 1) // 2
+    idl = np.asarray(idl, np.float64)
+    a_lo = [[_msum([wrl[i, s, c] * u[i + s] for s in range(hs)])
+             for c in range(hs)] for i in range(hs)]
+    a_hi = [_msum([s2c[c, s] * u[s] for s in range(ord)])
+            for c in range(ord)]
+    inv_idl_hi = 1.0 / float(idl[hs])
+    a_br = []
+    for c in range(ord):
+        acc = a_hi[c]
+        if c < hs:
+            acc = acc - _msum([float(idl[i]) * a_lo[i][c] for i in range(hs)])
+        a_br.append(acc * inv_idl_hi)
+
+    def quadform(a, M):
+        n = len(a)
+        terms = []
+        for ci in range(n):
+            if M[ci, ci] != 0.0:
+                terms.append(float(M[ci, ci]) * a[ci] * a[ci])
+            for d in range(ci + 1, n):
+                if M[ci, d] + M[d, ci] != 0.0:
+                    terms.append(float(M[ci, d] + M[d, ci]) * a[ci] * a[d])
+        return _msum(terms)
+
+    import numpy as _np
+    tv_lo = [quadform(a_lo[i], _np.asarray(tv_lo_M)) for i in range(hs)]
+    tv_br = quadform(a_br, _np.asarray(tv_hi_M))
+    lo_avg = _msum(tv_lo) * (1.0 / hs)
+    tv_br = lo_avg + (tv_br - lo_avg) * float(sigma)
+    tv = tv_lo + [tv_br]
+    w = [float(idl[i]) / (tv[i] * tv[i] + _EPS) for i in range(hs + 1)]
+    wsum = _msum(w) + _EPS
+    w = [wi / wsum for wi in w]
+    w = [wi * (float(idl[i]) + float(idl[i]) ** 2 - 3.0 * float(idl[i]) * wi +
+               wi * wi) /
+         (float(idl[i]) ** 2 + wi * (1.0 - 2.0 * float(idl[i])))
+         for i, wi in enumerate(w)]
+    wsum = _msum(w) + _EPS
+    w = [wi / wsum for wi in w]
+
+    import numpy as np_
+    gl = np_.asarray(c2g)[:, 0]
+    gr = np_.asarray(c2g)[:, 1]
+    outs = []
+    for g in (gl, gr):
+        e_cands = [_msum([float(g[c]) * a_lo[i][c] for c in range(hs)])
+                   for i in range(hs)]
+        e_cands.append(_msum([float(g[c]) * a_br[c] for c in range(ord)]))
+        outs.append(_msum([w[i] * e_cands[i] for i in range(hs + 1)]))
+    return outs[0], outs[1]
+
+
 def cfv_coefs_list(u, s2c):
     """Centered finite-volume (CFV) polynomial coefficients: the full-order
     stencil-to-coefficient map with NO nonlinear limiting (the a_hi branch

@@ -51,11 +51,11 @@ def _edge_recon_x(field, tables, recon_type: str = "wenofunc"):
     sten = [pad[..., s:s + nx] for s in range(ord)]
     if recon_type == "cfv":
         aw = weno.cfv_coefs_list(sten, s2c)
-    else:
-        aw = weno.weno_coefs_list(sten, s2c, wrl, tvh, tvl, idl, sigma)
-    left = weno._eval_edge_list(aw, c2g[:, 0])
-    right = weno._eval_edge_list(aw, c2g[:, 1])
-    return left, right
+        return (weno._eval_edge_list(aw, c2g[:, 0]),
+                weno._eval_edge_list(aw, c2g[:, 1]))
+    # direct edge evaluation: 2 fusion outputs instead of ord coefficient
+    # arrays (weno.weno_edges_list docstring; PERF round-4)
+    return weno.weno_edges_list(sten, s2c, wrl, tvh, tvl, idl, sigma, c2g)
 
 
 def _edge_recon_z(field_padded, tables, nlev, recon_type: str = "wenofunc",
@@ -83,11 +83,9 @@ def _edge_recon_z(field_padded, tables, nlev, recon_type: str = "wenofunc",
                            (-3, -2, -1), (0, 1, 2))[..., None]
     if recon_type == "cfv":
         aw = weno.cfv_coefs_list(sten, s2c)
-    else:
-        aw = weno.weno_coefs_list(sten, s2c, wrl, tvh, tvl, idl, sigma)
-    bottom = weno._eval_edge_list(aw, c2g[:, 0])
-    top = weno._eval_edge_list(aw, c2g[:, 1])
-    return bottom, top
+        return (weno._eval_edge_list(aw, c2g[:, 0]),
+                weno._eval_edge_list(aw, c2g[:, 1]))
+    return weno.weno_edges_list(sten, s2c, wrl, tvh, tvl, idl, sigma, c2g)
 
 
 def _upwind_x(left, right, flux, utype: str = "heaviside",
