@@ -184,8 +184,10 @@ def p3_main_part1(dt, pres, dpres, dz, nc_nuceat_tend, inv_exner, exner,
     """(micro_p3.F90 p3_main_part1:363-481).
 
     ccn_mode: "prescribed" -> nc = max(nc, nccn_prescribed) (:430-432, the
-    PAM wrapper default, Microphysics.h:713-714); "predict" ->
-    nc += nuceat*dt (:433-434); "const" -> nc = nccnst/rho (:435-437)."""
+    PAM wrapper default, Microphysics.h:713-714); "const" ->
+    nc = nccnst/rho (:435-437); "predict" (nc += nuceat*dt, :433-434)
+    raises: its aerosol ice-nucleation companion branch is not ported
+    (see the guard below)."""
     lv, ls, lf = C.latent_heat_vapor, C.latent_heat_sublim, C.latent_heat_fusion
     rho = dpres / dz / C.g
     inv_rho = 1.0 / rho
@@ -202,12 +204,22 @@ def p3_main_part1(dt, pres, dpres, dz, nc_nuceat_tend, inv_exner, exner,
     qv = jnp.where(clip_c, qv + qc, qv)
     th = jnp.where(clip_c, th - inv_exner * qc * lv * C.inv_cp, th)
     qc = jnp.where(clip_c, 0.0, qc)
-    # droplet activation (:430-438)
+    # droplet activation (:430-438). NOTE on "predict" (VERDICT r3 weak-7):
+    # under do_predict_nc the reference ALSO takes the aerosol
+    # ice-nucleation branch in ice_nucleation (:2594-2607, using
+    # ni_activated) and the two-moment ncautr path — neither is ported nor
+    # oracle-covered because the PAM wrapper pins
+    # p3_predictNc=false/prescribed CCN (Microphysics.h:412-413,713-714).
+    # Guard loudly rather than silently running uncovered physics.
+    if ccn_mode == "predict":
+        raise NotImplementedError(
+            "ccn_mode='predict' (p3_predictNc) needs the aerosol "
+            "ice-nucleation branch (micro_p3.F90:2594-2607) and the "
+            "two-moment autoconversion nc path, which are not ported — "
+            "the PAM wrapper never enables them (Microphysics.h:412-413)")
     if ccn_mode == "prescribed":
         nccn = 0.0 if nccn_prescribed is None else nccn_prescribed
         nc_act = jnp.maximum(nc, nccn)
-    elif ccn_mode == "predict":
-        nc_act = jnp.maximum(nc + nc_nuceat_tend * dt, 0.0)
     else:
         nc_act = C.nccnst * inv_rho
     nc = jnp.where(clip_c, 0.0, nc_act)
