@@ -83,11 +83,11 @@ def _edge_recon_h(field, tables, axis, recon_type: str = "wenofunc"):
     sten = [comm.proll(field, s - hs, axis=axis) for s in range(ord)]
     if recon_type == "cfv":
         aw = weno.cfv_coefs_list(sten, s2c)
-    else:
-        aw = weno.weno_coefs_list(sten, s2c, wrl, tvh, tvl, idl, sigma)
-    left = weno._eval_edge_list(aw, c2g[:, 0])
-    right = weno._eval_edge_list(aw, c2g[:, 1])
-    return left, right
+        return (weno._eval_edge_list(aw, c2g[:, 0]),
+                weno._eval_edge_list(aw, c2g[:, 1]))
+    # direct edge evaluation — summation order must match the slab's
+    # (weno_edges_list) so the degenerate 3-D reductions stay bit-tight
+    return weno.weno_edges_list(sten, s2c, wrl, tvh, tvl, idl, sigma, c2g)
 
 
 def _edge_recon_z(field_padded, tables, nlev, recon_type: str = "wenofunc",
@@ -111,11 +111,9 @@ def _edge_recon_z(field_padded, tables, nlev, recon_type: str = "wenofunc",
                            (-3, -2, -1), (0, 1, 2))[..., None, None]
     if recon_type == "cfv":
         aw = weno.cfv_coefs_list(sten, s2c)
-    else:
-        aw = weno.weno_coefs_list(sten, s2c, wrl, tvh, tvl, idl, sigma)
-    bottom = weno._eval_edge_list(aw, c2g[:, 0])
-    top = weno._eval_edge_list(aw, c2g[:, 1])
-    return bottom, top
+        return (weno._eval_edge_list(aw, c2g[:, 0]),
+                weno._eval_edge_list(aw, c2g[:, 1]))
+    return weno.weno_edges_list(sten, s2c, wrl, tvh, tvl, idl, sigma, c2g)
 
 
 def _upwind_h(left, right, flux, axis, utype="heaviside", coeff=250.0,
