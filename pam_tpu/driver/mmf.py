@@ -117,7 +117,7 @@ class MmfDriver:
 
     def crm_phys_step_microbatched(self, state, n_chunks: int):
         """crm_phys_step over the ensemble in ``n_chunks`` sequential
-        micro-batches (``lax.map`` over ens chunks of every state field).
+        micro-batches (unrolled for small n_chunks; ``lax.map`` beyond).
 
         Per-point throughput peaks near nens=128 and falls ~40% by
         nens=1024 because the step's working set leaves VMEM residency
@@ -147,8 +147,21 @@ class MmfDriver:
         def join(a):
             return a.reshape((-1,) + a.shape[2:])
 
+        if n_chunks <= 8:
+            # UNROLL small chunk counts: static slices let XLA assign
+            # layouts globally across the chunk bodies — the lax.map
+            # loop boundary forces per-chunk relabel copies and
+            # dynamic-update-slice result stitching (measured 73.1 vs
+            # 55.3 ms/step at nens=512/chunk=128 on the production
+            # P3+SHOC config, and 16.5 vs 15.7 for Kessler, round 4)
+            outs = [self._crm_phys_step_single(
+                jax.tree.map(lambda a: a[i * (a.shape[0] // n_chunks):
+                                         (i + 1) * (a.shape[0] // n_chunks)],
+                             state)) for i in range(n_chunks)]
+            return jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *outs)
         chunked = jax.tree.map(split, state)
-        out = jax.lax.map(self.crm_phys_step, chunked)
+        out = jax.lax.map(self._crm_phys_step_single, chunked)
         return jax.tree.map(join, out)
 
     def run(self, state, sim_time: float, callback: Callable = None):

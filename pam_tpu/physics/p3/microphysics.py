@@ -70,14 +70,18 @@ def init_state(coupler: Coupler, state):
 
 
 def _to_cols(a, nz):
-    """(nens, nz, ny, nx) -> (nz, ncol) with k flipped to top-down.
+    """(nens, nz, ny, nx) -> (nz, ny*nx, nens) with k flipped to top-down.
 
-    z-major / ensemble-minor column layout: ncol flattens (ny, nx, nens)
-    with nens minor, so the transpose from the dycore's (nens, nz, ny, nx)
-    is a layout RELABEL of the z-major/ens-minor physical layout XLA
-    already assigns those fields (PERF.md round-4: the Kessler precedent),
-    and column arrays tile the 128-lane axis with no nz padding."""
-    return jnp.transpose(a, (1, 2, 3, 0)).reshape(nz, -1)[::-1]
+    z-major / ensemble-minor column layout (the Kessler precedent): the
+    transpose from the dycore's (nens, nz, ny, nx) is a layout RELABEL of
+    the z-major/ens-minor physical layout XLA already assigns those
+    fields, and the 128-multiple ensemble axis rides the TPU lanes with
+    no padding. The ensemble stays its OWN (trailing) array axis — never
+    merged into a flattened column dim — so ensemble sharding remains
+    representable without all-gathers (GSPMD cannot shard the minor
+    component of a merged dimension; caught by
+    tools/comm_volume.py + tests/test_halo.py)."""
+    return jnp.transpose(a, (1, 2, 3, 0)).reshape(nz, -1, a.shape[0])[::-1]
 
 
 def _from_cols(a, shape):
@@ -91,15 +95,16 @@ def _to_cols_batch(arrays, nz):
     costs ~2 layout kernels each; the unstacking slices fuse into the
     consumers)."""
     st = jnp.stack(arrays)                     # (F, nens, nz, ny, nx)
-    c = jnp.transpose(st, (0, 2, 3, 4, 1)).reshape(st.shape[0], nz, -1)
+    c = jnp.transpose(st, (0, 2, 3, 4, 1)).reshape(
+        st.shape[0], nz, -1, st.shape[1])
     c = c[:, ::-1]
     return [c[i] for i in range(st.shape[0])]
 
 
 def _from_cols_batch(arrays, shape):
-    """Inverse of :func:`_to_cols_batch` for many (nz, ncol) fields."""
+    """Inverse of :func:`_to_cols_batch` for many (nz, nyx, nens)."""
     nens, nz, ny, nx = shape
-    st = jnp.stack(arrays)                     # (F, nz, ncol)
+    st = jnp.stack(arrays)                     # (F, nz, nyx, nens)
     r = jnp.transpose(st[:, ::-1].reshape(st.shape[0], nz, ny, nx, nens),
                       (0, 4, 1, 2, 3))
     return [r[i] for i in range(st.shape[0])]
@@ -199,7 +204,7 @@ class P3Micro:
         out["vap_liq_exchange_out"] = backs[len(out_keys) + 2]
         out["vap_ice_exchange_out"] = backs[len(out_keys) + 3]
         def _sfc(a):
-            # (ncol,) ordered (ny, nx, nens) -> (nens, ny, nx)
+            # (nyx, nens) -> (nens, ny, nx)
             return jnp.transpose(a.reshape(ny, nx, nens), (2, 0, 1))
         out["precip_liq_surf_out"] = _sfc(st["precip_liq_surf"])
         out["precip_ice_surf_out"] = _sfc(st["precip_ice_surf"])

@@ -212,7 +212,7 @@ def update_prognostics_implicit(dtime, dz_zt, dz_zi, rho_zt, zt_grid,
     qw = qw.at[-1].add(cmnfac * wqw_sfc)
     tke = tke.at[-1].add(cmnfac * wtke_sfc)
     if tracers is not None:
-        tracers = tracers.at[-1].add(cmnfac[:, None] * wtracer_sfc)
+        tracers = tracers.at[-1].add(cmnfac[..., None] * wtracer_sfc)
 
     du, dl, d0 = vd_shoc_matrix(tk_zi, tmpi, rdp_zt, dtime, ksrf)
     u_wind, v_wind = _solve_shared(du, dl, d0, [u_wind, v_wind])
@@ -588,17 +588,19 @@ def _pblintd_height(z, u, v, ustar, thv, thv_ref, npbl, pblh0, active):
     rino = C.ggr * (thv - thv_ref) * (z - z[-1:]) / (thv[-1:] * vvk)
     rino = rino.at[-1].set(0.0)
     # scan k=nlev-2 down to nlev-npbl (0-based), i.e. upward from surface
-    ks = jnp.arange(nlev)
+    # (ks broadcast over ANY trailing batch shape: 2-D (nz, ncol) columns
+    # or the 3-D ens-shardable (nz, ny*nx, nens) layout)
+    ks = jnp.arange(nlev).reshape((nlev,) + (1,) * (rino.ndim - 1))
     in_window = (ks >= nlev - npbl) & (ks <= nlev - 2)
-    crossed = (rino >= C.ricr) & in_window[:, None]
+    crossed = (rino >= C.ricr) & in_window
     any_cross = jnp.any(crossed, axis=0)
     # largest k (lowest level) with crossing
-    kcross = jnp.argmax(jnp.where(crossed, ks[:, None], -1), axis=0)
+    kcross = jnp.argmax(jnp.where(crossed, ks, -1), axis=0)
     # per-lane dynamic z-index: a one-hot masked sum keeps the op on the
     # VPU (take_along_axis lowers to a cross-sublane gather — measured
     # 0.7 ms/call at the bench shape, ~the whole pblintd budget)
     take = lambda arr, idx: jnp.sum(
-        jnp.where(ks[:, None] == idx[None, :], arr, 0.0), axis=0)
+        jnp.where(ks == idx[None], arr, 0.0), axis=0)
     r_k = take(rino, kcross)
     r_kp = take(rino, jnp.minimum(kcross + 1, nlev - 1))
     z_k = take(z, kcross)
@@ -679,11 +681,12 @@ def shoc_energy_fixer(dtime, nadv, zt_grid, zi_grid, before, after,
     shoctop = jnp.where(jnp.any(active, axis=0), shoctop, nlev - 2)
     shoctop = jnp.minimum(shoctop, nlev - 2)
     # one-hot masked sum instead of a cross-sublane gather (see pblintd)
-    ks_i = jnp.arange(presi.shape[0])
+    ks_i = jnp.arange(presi.shape[0]).reshape(
+        (presi.shape[0],) + (1,) * (presi.ndim - 1))
     take = lambda arr, idx: jnp.sum(
-        jnp.where(ks_i[:, None] == idx[None, :], arr, 0.0), axis=0)
+        jnp.where(ks_i == idx[None], arr, 0.0), axis=0)
     se_dis = (te_a - te_b) / (presi[-1] - take(presi, shoctop))
-    mask = ks[:, None] >= shoctop[None, :]
+    mask = ks.reshape((nlev,) + (1,) * (tke.ndim - 1)) >= shoctop[None]
     return jnp.where(mask, host_dse - se_dis * C.ggr, host_dse)
 
 

@@ -54,12 +54,12 @@ def _npbl(pref_mid: np.ndarray) -> int:
 
 
 def _to_cols(a, nz):
-    """(nens, nz, ny, nx) -> (nz, ncol) flipped to top-down.
+    """(nens, nz, ny, nx) -> (nz, ny*nx, nens) flipped to top-down.
 
-    z-major / ensemble-minor column layout (ncol flattens (ny, nx, nens),
-    nens minor): the transpose is a layout relabel of the z-major physical
-    layout XLA assigns the dycore fields (see p3/microphysics.py)."""
-    return jnp.transpose(a, (1, 2, 3, 0)).reshape(nz, -1)[::-1]
+    z-major / ensemble-minor column layout with the ensemble kept as its
+    OWN trailing axis — a layout relabel of the dycore fields that stays
+    shardable over the ensemble (see p3/microphysics.py _to_cols)."""
+    return jnp.transpose(a, (1, 2, 3, 0)).reshape(nz, -1, a.shape[0])[::-1]
 
 
 def _from_cols(a, shape):
@@ -71,7 +71,8 @@ def _to_cols_batch(arrays, nz):
     """Batched :func:`_to_cols`: one stacked transpose+flip kernel for many
     fields instead of one per field."""
     st = jnp.stack(arrays)                     # (F, nens, nz, ny, nx)
-    c = jnp.transpose(st, (0, 2, 3, 4, 1)).reshape(st.shape[0], nz, -1)
+    c = jnp.transpose(st, (0, 2, 3, 4, 1)).reshape(
+        st.shape[0], nz, -1, st.shape[1])
     c = c[:, ::-1]
     return [c[i] for i in range(st.shape[0])]
 
@@ -79,7 +80,7 @@ def _to_cols_batch(arrays, nz):
 def _from_cols_batch(arrays, shape):
     """Batched :func:`_from_cols`."""
     nens, nz, ny, nx = shape
-    st = jnp.stack(arrays)                     # (F, nz, ncol)
+    st = jnp.stack(arrays)                     # (F, nz, nyx, nens)
     r = jnp.transpose(st[:, ::-1].reshape(st.shape[0], nz, ny, nx, nens),
                       (0, 4, 1, 2, 3))
     return [r[i] for i in range(st.shape[0])]
@@ -145,7 +146,7 @@ class ShocSgs:
         theta_l = theta - (1.0 / exner) * (C.lcond / C.cp) * ql
 
         bc = lambda a: a[:, :, None, None] * jnp.ones(shape, cpl.dtype)
-        ones_col = jnp.ones((nens * ny * nx,), cpl.dtype)
+        ones_col = jnp.ones((ny * nx, nens), cpl.dtype)
 
         zi_full = (zint - z0)[:, :, None, None] * \
             jnp.ones((nens, nz + 1, ny, nx), cpl.dtype)
@@ -161,9 +162,11 @@ class ShocSgs:
         pint_full = jnp.concatenate([pint_bot, pint_mid, pint_top], axis=1)
         presi = _to_cols(pint_full, nz + 1)
 
-        # surface fields: (nens, ny, nx) -> (ncol,) ordered (ny, nx, nens)
-        sfc = lambda name: jnp.transpose(state[name], (1, 2, 0)).reshape(-1)
-        phis = jnp.tile(z0[:, 0] * C.ggr, ny * nx)
+        # surface fields: (nens, ny, nx) -> (nyx, nens)
+        sfc = lambda name: jnp.transpose(state[name], (1, 2, 0)).reshape(
+            -1, nens)
+        phis = jnp.broadcast_to((z0[:, 0] * C.ggr)[None, :],
+                                (ny * nx, nens))
 
         tke_in = jnp.maximum(0.004, state["tke"] / rho_total)
         tr4 = [jnp.maximum(state[n] / rho_total, 0.0) for n in tracer_names]

@@ -257,6 +257,34 @@ def test_ens_only_sharded_si_step_is_collective_free(mmf_spam_si):
             assert re.match(r"(f32|f64)\[\]", shape), line.strip()[:160]
 
 
+def test_ens_only_sharded_p3_shoc_step_is_collective_free():
+    """The PRODUCTION physics stack (P3+SHOC) under pure ensemble sharding
+    must also compile with zero data-moving collectives. Guards the
+    round-4 column-layout regression: flattening the ensemble into the
+    minor component of a merged ncol axis made GSPMD all-gather every
+    wrapper conversion (5 gathers, ~7.4 MB/step at the comm_volume config)
+    — the (nz, ny*nx, nens) layout keeps nens its own shardable axis."""
+    from pam_tpu.driver.mmf import setup_supercell_mmf
+    from pam_tpu.modules import gcm_forcing
+    drv, state = setup_supercell_mmf(nx=16, ny=1, nz=12, nens=8,
+                                     xlen=32000.0, ylen=64000.0,
+                                     zlen=20000.0, micro="p3", sgs="shoc",
+                                     dt_gcm=80.0, dt_crm_phys=20.0,
+                                     dycore="spam")
+    state = gcm_forcing.compute_gcm_forcing_tendencies(drv.coupler, state,
+                                                       drv.dt_gcm)
+    mesh = make_mesh(n_ens_shards=8, n_x_shards=1)
+    sh = {k: NamedSharding(mesh, P("ens") if v.ndim else P())
+          for k, v in state.items()}
+    placed = {k: jax.device_put(v, sh[k]) for k, v in state.items()}
+    txt = jax.jit(drv.crm_phys_step).lower(placed).compile().as_text()
+    counts = _collective_counts(txt)
+    assert counts["all-gather"] == 0, counts
+    assert counts["all-to-all"] == 0, counts
+    assert counts["collective-permute"] == 0, counts
+    assert counts["reduce-scatter"] == 0, counts
+
+
 def test_explicit_x_sharded_collective_profile(mmf_spam_si):
     """The explicit path must place ONLY the collectives we chose:
     ppermutes (halo fetches) and all-reduces (spectral psum-DFT forward +

@@ -125,7 +125,7 @@ def main():
     theta_v = theta * (1.0 + 0.61 * qv - ql)
     theta_l = theta - (1.0 / exner) * (C.lcond / C.cp) * ql
     bc = lambda a: a[:, :, None, None] * jnp.ones(shape, cpl.dtype)
-    ones_col = jnp.ones((nens_ * ny * nx,), cpl.dtype)
+    ones_col = jnp.ones((ny * nx, nens_), cpl.dtype)
     zi_full = (zint - z0)[:, :, None, None] * \
         jnp.ones((nens_, nz + 1, ny, nx), cpl.dtype)
     zi = _to_cols(zi_full, nz + 1)
@@ -136,8 +136,9 @@ def main():
         [p_up[:, :1], 0.5 * (p_dn[:, :-1] + p_up[:, 1:]), p_dn[:, -1:]],
         axis=1)
     presi = _to_cols(pint_full, nz + 1)
-    sfc = lambda name: jnp.transpose(state[name], (1, 2, 0)).reshape(-1)
-    phis = jnp.tile(z0[:, 0] * C.ggr, ny * nx)
+    sfc = lambda name: jnp.transpose(state[name], (1, 2, 0)).reshape(
+        -1, nens_)
+    phis = jnp.broadcast_to((z0[:, 0] * C.ggr)[None, :], (ny * nx, nens_))
     tke_in = jnp.maximum(0.004, state["tke"] / rho_total)
     tr4 = [jnp.maximum(state[n] / rho_total, 0.0) for n in tracer_names]
     base = [theta_v, bc(zmid - z0), pmid,
