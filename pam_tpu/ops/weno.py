@@ -48,30 +48,11 @@ def _msum(terms):
     return out
 
 
-def weno_coefs_list(u, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma):
-    """WENO-limited monomial coefficients — fully unrolled elementwise form.
-
-    This is the TPU hot-path formulation: every tiny stencil/coefficient
-    contraction is unrolled into scalar-constant multiply-adds over the
-    batch-shaped arrays, so XLA fuses the whole limiter into a handful of
-    elementwise kernels. The earlier einsum-over-leading-axes formulation
-    materialized dozens of (ord, ...)-stacked intermediates in HBM and
-    lowered to badly-tiled dot_generals (~10x slower end to end).
-
-    Args:
-      u: sequence of ``ord`` arrays (cell averages along the stencil).
-      s2c: (ord, ord) numpy [c, s] (constants -> folded), or a jnp array
-        with leading [c, s] dims and trailing batch dims broadcastable to
-        the u arrays (variable vertical grids).
-      wrl: (hs, hs, hs) numpy [i, s, c] or jnp with leading dims likewise.
-      tv_hi_M/tv_lo_M: numpy smoothness quadratic forms; idl/sigma: numpy
-        limiter tuning.
-    Returns:
-      list of ``ord`` limited-coefficient arrays.
-
-    Parity reference: WenoLimiter.h compute_weno_coefs incl. the
-    weight-mapping step (map_weights, WenoLimiter.h:12-19).
-    """
+def _weno_candidates_and_weights(u, s2c, wrl, tv_hi_M, tv_lo_M, idl,
+                                 sigma):
+    """Candidate polynomials (a_lo list-of-lists, bridge a_br) and the
+    mapped nonlinear weights w — the shared core of WENO limiting
+    (WenoLimiter.h compute_weno_coefs:98-181 through map_weights)."""
     import numpy as np
     ord = len(u)
     hs = (ord + 1) // 2  # number and size of low-order sub-stencils
@@ -102,9 +83,8 @@ def weno_coefs_list(u, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma):
                     terms.append(float(M[ci, d] + M[d, ci]) * a[ci] * a[d])
         return _msum(terms)
 
-    import numpy as _np
-    tv_lo = [quadform(a_lo[i], _np.asarray(tv_lo_M)) for i in range(hs)]
-    tv_br = quadform(a_br, _np.asarray(tv_hi_M))
+    tv_lo = [quadform(a_lo[i], np.asarray(tv_lo_M)) for i in range(hs)]
+    tv_br = quadform(a_br, np.asarray(tv_hi_M))
     lo_avg = _msum(tv_lo) * (1.0 / hs)
     tv_br = lo_avg + (tv_br - lo_avg) * float(sigma)
     tv = tv_lo + [tv_br]
@@ -118,6 +98,35 @@ def weno_coefs_list(u, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma):
          for i, wi in enumerate(w)]
     wsum = _msum(w) + _EPS
     w = [wi / wsum for wi in w]
+    return a_lo, a_br, w, hs, ord
+
+
+def weno_coefs_list(u, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma):
+    """WENO-limited monomial coefficients — fully unrolled elementwise form.
+
+    This is the TPU hot-path formulation: every tiny stencil/coefficient
+    contraction is unrolled into scalar-constant multiply-adds over the
+    batch-shaped arrays, so XLA fuses the whole limiter into a handful of
+    elementwise kernels. The earlier einsum-over-leading-axes formulation
+    materialized dozens of (ord, ...)-stacked intermediates in HBM and
+    lowered to badly-tiled dot_generals (~10x slower end to end).
+
+    Args:
+      u: sequence of ``ord`` arrays (cell averages along the stencil).
+      s2c: (ord, ord) numpy [c, s] (constants -> folded), or a jnp array
+        with leading [c, s] dims and trailing batch dims broadcastable to
+        the u arrays (variable vertical grids).
+      wrl: (hs, hs, hs) numpy [i, s, c] or jnp with leading dims likewise.
+      tv_hi_M/tv_lo_M: numpy smoothness quadratic forms; idl/sigma: numpy
+        limiter tuning.
+    Returns:
+      list of ``ord`` limited-coefficient arrays.
+
+    Parity reference: WenoLimiter.h compute_weno_coefs incl. the
+    weight-mapping step (map_weights, WenoLimiter.h:12-19).
+    """
+    a_lo, a_br, w, hs, ord = _weno_candidates_and_weights(
+        u, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma)
     # Weighted combination of candidates
     out = []
     for c in range(ord):
@@ -144,51 +153,10 @@ def weno_edges_list(u, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma, c2g):
     per-candidate g.a contractions replace the g.aw one).
     """
     import numpy as np
-    ord = len(u)
-    hs = (ord + 1) // 2
-    idl = np.asarray(idl, np.float64)
-    a_lo = [[_msum([wrl[i, s, c] * u[i + s] for s in range(hs)])
-             for c in range(hs)] for i in range(hs)]
-    a_hi = [_msum([s2c[c, s] * u[s] for s in range(ord)])
-            for c in range(ord)]
-    inv_idl_hi = 1.0 / float(idl[hs])
-    a_br = []
-    for c in range(ord):
-        acc = a_hi[c]
-        if c < hs:
-            acc = acc - _msum([float(idl[i]) * a_lo[i][c] for i in range(hs)])
-        a_br.append(acc * inv_idl_hi)
-
-    def quadform(a, M):
-        n = len(a)
-        terms = []
-        for ci in range(n):
-            if M[ci, ci] != 0.0:
-                terms.append(float(M[ci, ci]) * a[ci] * a[ci])
-            for d in range(ci + 1, n):
-                if M[ci, d] + M[d, ci] != 0.0:
-                    terms.append(float(M[ci, d] + M[d, ci]) * a[ci] * a[d])
-        return _msum(terms)
-
-    import numpy as _np
-    tv_lo = [quadform(a_lo[i], _np.asarray(tv_lo_M)) for i in range(hs)]
-    tv_br = quadform(a_br, _np.asarray(tv_hi_M))
-    lo_avg = _msum(tv_lo) * (1.0 / hs)
-    tv_br = lo_avg + (tv_br - lo_avg) * float(sigma)
-    tv = tv_lo + [tv_br]
-    w = [float(idl[i]) / (tv[i] * tv[i] + _EPS) for i in range(hs + 1)]
-    wsum = _msum(w) + _EPS
-    w = [wi / wsum for wi in w]
-    w = [wi * (float(idl[i]) + float(idl[i]) ** 2 - 3.0 * float(idl[i]) * wi +
-               wi * wi) /
-         (float(idl[i]) ** 2 + wi * (1.0 - 2.0 * float(idl[i])))
-         for i, wi in enumerate(w)]
-    wsum = _msum(w) + _EPS
-    w = [wi / wsum for wi in w]
-
-    import numpy as np_
-    gl = np_.asarray(c2g)[:, 0]
-    gr = np_.asarray(c2g)[:, 1]
+    a_lo, a_br, w, hs, ord = _weno_candidates_and_weights(
+        u, s2c, wrl, tv_hi_M, tv_lo_M, idl, sigma)
+    gl = np.asarray(c2g)[:, 0]
+    gr = np.asarray(c2g)[:, 1]
     outs = []
     for g in (gl, gr):
         e_cands = [_msum([float(g[c]) * a_lo[i][c] for c in range(hs)])
