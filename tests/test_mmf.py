@@ -213,3 +213,16 @@ def test_crm_step_ens_microbatched_matches_full():
                    v.shape[0] == 4 else v) for k, v in state.items()}
         with _pytest.raises(ValueError, match="micro-batching"):
             drv_chunk.crm_phys_step(bad)
+        # chunk-of-1 micro-batching must equal an explicit per-member
+        # loop (ground truth for the chunk split/concat bookkeeping)
+        drv_one, _ = setup_supercell_mmf(nens=1, **kw)
+        m16 = jax.jit(lambda s: drv_one.crm_phys_step_microbatched(s, 4))(
+            state)
+        refs = [jax.jit(drv_one.crm_phys_step)(
+            {k: (v[i:i + 1] if hasattr(v, "shape") and v.ndim else v)
+             for k, v in state.items()}) for i in range(4)]
+        for k in ("temp", "water_vapor", "uvel"):
+            want = np.concatenate([np.asarray(r[k]) for r in refs], axis=0)
+            np.testing.assert_allclose(np.asarray(m16[k]), want,
+                                       rtol=5e-13, atol=1e-13,
+                                       err_msg=("per-member", k))
