@@ -4,13 +4,24 @@ Runs the flagship MMF configuration (65x1x50 cells per CRM — the reference's
 production config, inputs/input_pamc.yaml — batched over an ensemble sized to
 fill the chip) and reports CRM-physics-step throughput.
 
-Two configurations are measured by default:
-  1. the production physics stack micro=p3, sgs=shoc (the reference CI
-     config, inputs/ci/input_pamc.yaml) — emitted FIRST;
-  2. the Kessler config benched since round 1 — emitted LAST (the line of
+Five rows are measured by default (VERDICT r4 item 2 — the drift-proof
+artifact of record):
+  1. production physics stack micro=p3, sgs=shoc, nens=128 (the reference
+     CI config, inputs/ci/input_pamc.yaml);
+  2. p3+shoc at nens=512 through the auto micro-batched path;
+  3. kessler at nens=512 through the auto micro-batched path;
+  4. the PAM-A (AWFL) dycore on the kessler config;
+  5. the Kessler config benched since round 1 — emitted LAST (the line of
      record; comparable with BENCH_BASELINE.json across rounds).
 Each is ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Drift-proofing (PERF.md round-4 methodology note): the axon-tunnel dispatch
+drifts ±1 ms session-to-session, so each config runs ``PAM_BENCH_REPS``
+(default 3) timed repetitions in ONE session and the row of record carries
+the BEST wall ms/step (value is derived from it), the MEDIAN, and the traced
+DEVICE op-time per step ('XLA Ops' timeline only — async DMA spans overlap
+compute and would double count).
 
 Baseline caveat (carried in the JSON "baseline_note"): the reference
 publishes no performance numbers and cannot run in this image (BASELINE.md),
@@ -24,7 +35,9 @@ single configuration (the pre-round-3 behavior).
 
 import json
 import os
+import statistics
 import sys
+import tempfile
 import time
 
 BASELINE_NOTE = ("vs_baseline divides by this project's round-1 TPU "
@@ -34,6 +47,43 @@ BASELINE_NOTE = ("vs_baseline divides by this project's round-1 TPU "
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def device_ms_per_step(step, state, nsteps):
+    """Traced device op time per step, ms ('XLA Ops' timeline only; the
+    'Async XLA Ops' line carries DMA spans that OVERLAP compute — same
+    methodology as tools/trace_ops.py). Returns None if tracing fails."""
+    import jax
+    try:
+        from jax.profiler import ProfileData
+        tdir = tempfile.mkdtemp(prefix="pam_bench_trace_")
+        jax.profiler.start_trace(tdir)
+        s = state
+        for _ in range(nsteps):
+            s = step(s)
+        jax.block_until_ready(s["temp"])
+        jax.profiler.stop_trace()
+        total_us = 0.0
+        for root, _, files in os.walk(tdir):
+            for f in files:
+                if not f.endswith(".xplane.pb"):
+                    continue
+                data = ProfileData.from_file(os.path.join(root, f))
+                for plane in data.planes:
+                    pname = plane.name.lower()
+                    if "host" in pname or not (
+                            "tpu" in pname or "device" in pname or
+                            "/gpu" in pname):
+                        continue
+                    for line in plane.lines:
+                        if line.name != "XLA Ops":
+                            continue
+                        for ev in line.events:
+                            total_us += ev.duration_ns / 1e3
+        return total_us / nsteps / 1e3 if total_us else None
+    except Exception as e:
+        log(f"device trace unavailable: {e}")
+        return None
 
 
 def main():
@@ -59,17 +109,17 @@ def main():
     nx, ny, nz = 65, 1, 50
     nens = int(os.environ.get("PAM_BENCH_NENS", "128"))
     n_crm_steps = int(os.environ.get("PAM_BENCH_STEPS", "60"))
+    reps = int(os.environ.get("PAM_BENCH_REPS", "3"))
+    trace_steps = int(os.environ.get("PAM_BENCH_TRACE_STEPS", "10"))
     # PAM-C (SPAM + semi-implicit) is the reference's production MMF dycore
     # (inputs/input_pamc.yaml); PAM_BENCH_DYCORE=awfl benches PAM-A instead.
     # PAM_BENCH_MICRO=p3 PAM_BENCH_SGS=shoc benches the full production
     # physics stack (the reference CI config inputs/ci/input_pamc.yaml).
-    dycore = os.environ.get("PAM_BENCH_DYCORE", "spam")
+    env_dycore = os.environ.get("PAM_BENCH_DYCORE", "spam")
     linsys = os.environ.get("PAM_BENCH_LINSYS", "velocity")
     # PAM_BENCH_TWOPOINT=1 enables the reference's (off-by-default) exact
     # two-point discrete gradient (si_two_point_discrete_gradient)
     two_point = os.environ.get("PAM_BENCH_TWOPOINT", "0") == "1"
-    dycore_kwargs = ({"linear_system": linsys, "si_two_point": two_point}
-                     if dycore == "spam" else None)
 
     log(f"devices: {jax.devices()}")
 
@@ -83,8 +133,13 @@ def main():
     mb = os.environ.get("PAM_BENCH_ENS_MICROBATCH")
     mb = int(mb) if mb else None
 
-    def run_config(micro, sgs, run_nens=None, chunk=None):
+    def run_config(micro, sgs, run_nens=None, chunk=None, dycore=None,
+                   steps=None):
         run_nens = run_nens or nens
+        steps = steps or n_crm_steps
+        dycore = dycore or env_dycore
+        dycore_kwargs = ({"linear_system": linsys, "si_two_point": two_point}
+                         if dycore == "spam" else None)
         drv_nens = chunk if chunk else (mb if mb else run_nens)
         drv, state = setup_supercell_mmf(
             nx=nx, ny=ny, nz=nz, nens=drv_nens, xlen=128000.0,
@@ -107,44 +162,61 @@ def main():
         t0 = time.time()
         state = step(state)
         jax.block_until_ready(state["temp"])
-        log(f"[micro={micro} sgs={sgs}] compile+first step: "
-            f"{time.time()-t0:.1f}s")
+        compile_s = time.time() - t0
+        log(f"[micro={micro} sgs={sgs} dycore={dycore}] compile+first "
+            f"step: {compile_s:.1f}s")
 
         for _ in range(3):  # warmup
             state = step(state)
         jax.block_until_ready(state["temp"])
 
-        t0 = time.time()
+        # repeat timed reps in ONE session: best is the drift-proof
+        # statistic, median is the honesty check
+        ms_reps = []
         s = state
-        for _ in range(n_crm_steps):
-            s = step(s)
-        jax.block_until_ready(s["temp"])
-        elapsed = time.time() - t0
+        for _ in range(reps):
+            t0 = time.time()
+            for _ in range(steps):
+                s = step(s)
+            jax.block_until_ready(s["temp"])
+            ms_reps.append((time.time() - t0) / steps * 1e3)
 
         if not bool(np.isfinite(np.asarray(s["temp"])).all()):
             log("ERROR: non-finite state after benchmark run")
             sys.exit(1)
 
-        gridpoints = nx * ny * nz * run_nens
-        value = gridpoints * n_crm_steps / elapsed
-        log(f"[micro={micro} sgs={sgs} nens={run_nens} drv={drv_nens}] "
-            f"{n_crm_steps} CRM steps x {gridpoints} pts in {elapsed:.3f}s")
-        return value, elapsed / n_crm_steps * 1e3
+        dev_ms = device_ms_per_step(step, s, trace_steps)
 
-    def emit(value, ms_step, micro, sgs, vs_baseline=None, extra=""):
+        gridpoints = nx * ny * nz * run_nens
+        best = min(ms_reps)
+        med = statistics.median(ms_reps)
+        value = gridpoints / best * 1e3
+        log(f"[micro={micro} sgs={sgs} nens={run_nens} drv={drv_nens} "
+            f"dycore={dycore}] reps(ms/step)="
+            f"{['%.2f' % m for m in ms_reps]} best={best:.2f} med={med:.2f} "
+            f"device={dev_ms if dev_ms is None else round(dev_ms, 2)}")
+        return dict(value=value, best=best, median=med, device=dev_ms,
+                    compile_s=compile_s)
+
+    def emit(r, micro, sgs, vs_baseline=None, extra="", dycore=None):
         rec = {
             "metric": "supercell CRM grid-points*steps/s per chip",
-            "value": round(value, 1),
+            "value": round(r["value"], 1),
             "unit": "gridpoint-steps/s",
-            "config": f"micro={micro},sgs={sgs},dycore={dycore}" + extra,
-            "ms_per_step": round(ms_step, 2),
+            "config": f"micro={micro},sgs={sgs},"
+                      f"dycore={dycore or env_dycore}" + extra,
+            "ms_per_step": round(r["best"], 2),
+            "ms_per_step_median": round(r["median"], 2),
+            "reps": reps,
         }
+        if r["device"] is not None:
+            rec["device_ms_per_step"] = round(r["device"], 2)
+        rec["compile_first_step_s"] = round(r["compile_s"], 1)
         if vs_baseline is not None:
             rec["vs_baseline"] = round(vs_baseline, 3)
             rec["baseline_note"] = BASELINE_NOTE
         print(json.dumps(rec))
 
-    vs_baseline = 1.0
     base_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 
     def baseline_ratio(value):
@@ -161,29 +233,33 @@ def main():
         # explicit single-config run
         micro = os.environ.get("PAM_BENCH_MICRO", "kessler")
         sgs = os.environ.get("PAM_BENCH_SGS", "none")
-        value, ms = run_config(micro, sgs)
-        emit(value, ms, micro, sgs, baseline_ratio(value)
+        r = run_config(micro, sgs)
+        emit(r, micro, sgs, baseline_ratio(r["value"])
              if (micro, sgs) == ("kessler", "none") else None)
         return
 
     # default: production physics first, then the line of record (LAST —
     # the driver parses the final JSON line; it stays comparable with
     # BENCH_BASELINE.json across rounds)
-    v_p3, ms_p3 = run_config("p3", "shoc")
+    r_p3 = run_config("p3", "shoc")
     # production-regime ensemble lines of record (VERDICT r3 item 5):
     # nens=512 with the auto-selected VMEM-resident chunk
     from pam_tpu.driver.mmf import pick_ens_chunk
     big = int(os.environ.get("PAM_BENCH_NENS_BIG", "512"))
     ck = pick_ens_chunk(nx, ny, nz, jnp.float32, big)
-    v_p3b, ms_p3b = run_config("p3", "shoc", run_nens=big, chunk=ck)
-    v_kb, ms_kb = run_config("kessler", "none", run_nens=big, chunk=ck)
-    v_k, ms_k = run_config("kessler", "none")
-    emit(v_p3, ms_p3, "p3", "shoc")
-    emit(v_p3b, ms_p3b, "p3", "shoc",
-         extra=f",nens={big},ens_chunk={ck}")
-    emit(v_kb, ms_kb, "kessler", "none",
-         extra=f",nens={big},ens_chunk={ck}")
-    emit(v_k, ms_k, "kessler", "none", baseline_ratio(v_k))
+    r_p3b = run_config("p3", "shoc", run_nens=big, chunk=ck)
+    r_kb = run_config("kessler", "none", run_nens=big, chunk=ck)
+    # PAM-A (AWFL) as a first-class row (VERDICT r4 item 2): ~130 ms/step
+    # (66 acoustic tendency evaluations — algorithmic, PERF.md), so fewer
+    # steps per rep
+    awfl_steps = int(os.environ.get("PAM_BENCH_AWFL_STEPS", "10"))
+    r_a = run_config("kessler", "none", dycore="awfl", steps=awfl_steps)
+    r_k = run_config("kessler", "none")
+    emit(r_p3, "p3", "shoc")
+    emit(r_p3b, "p3", "shoc", extra=f",nens={big},ens_chunk={ck}")
+    emit(r_kb, "kessler", "none", extra=f",nens={big},ens_chunk={ck}")
+    emit(r_a, "kessler", "none", dycore="awfl")
+    emit(r_k, "kessler", "none", baseline_ratio(r_k["value"]))
 
 
 if __name__ == "__main__":
