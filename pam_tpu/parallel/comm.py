@@ -192,8 +192,31 @@ def halo_pad(a, h: int, axis: int = -1, kind: str = None):
     left_edge = a[tuple(idx_l)]    # my first h columns
     right_edge = a[tuple(idx_r)]   # my last h columns
     if name is None or _axis_size(name) == 1:
+        assert h <= a.shape[ax], \
+            f"halo_pad h={h} exceeds axis extent {a.shape[ax]}"
         return jnp.concatenate([right_edge, a, left_edge], axis=ax)
     n = _axis_size(name)
+    nloc = a.shape[ax]
+    if h > nloc:
+        # halo wider than one shard (tiny-grid many-shard tests): fetch
+        # whole shards from neighbors-of-neighbors, hop by hop, then trim
+        import math
+        hops = math.ceil(h / nloc)
+        assert hops < n, (
+            f"halo_pad h={h} needs {hops} shards but axis {name!r} has "
+            f"only {n}")
+        lparts, rparts = [], []
+        for d in range(1, hops + 1):
+            lparts.append(lax.ppermute(a, name, _ring_perm(n, d)))
+            rparts.append(lax.ppermute(a, name, _ring_perm(n, -d)))
+        left_halo = jnp.concatenate(lparts[::-1], axis=ax)
+        right_halo = jnp.concatenate(rparts, axis=ax)
+        sl_l = [slice(None)] * a.ndim
+        sl_l[ax] = slice(left_halo.shape[ax] - h, None)
+        sl_r = [slice(None)] * a.ndim
+        sl_r[ax] = slice(0, h)
+        return jnp.concatenate(
+            [left_halo[tuple(sl_l)], a, right_halo[tuple(sl_r)]], axis=ax)
     from_left = lax.ppermute(right_edge, name, _ring_perm(n, 1))
     from_right = lax.ppermute(left_edge, name, _ring_perm(n, -1))
     return jnp.concatenate([from_left, a, from_right], axis=ax)
