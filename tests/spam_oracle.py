@@ -717,3 +717,268 @@ def si_step_oracle(dens, v, w, geop, dt, dz_d, dz_p, dx, dy, cst, mats, ref,
     sol = velocity_solve_oracle(*res, dt, dz_d, dz_p, dx, dy, cst, ref,
                                 zint_p)
     return tuple(a + b for a, b in zip(xn, sol))
+
+
+# ---------------------------------------------------------------------------
+# Pressure-based linear systems (the reference's YAML-default
+# linear_system == "pressure" and the gravity-aware variant)
+# ---------------------------------------------------------------------------
+
+def _thomas(tri_l, tri_d, tri_u, rhs):
+    """Reference Thomas recurrence (solve_for_pressure,
+    extrudedmodel.h:3806-3830): tri_* are (n,) or (n, nxr) stacks, rhs is
+    (n, ...) with matching trailing shape."""
+    n = rhs.shape[0]
+    x = np.array(rhs, dtype=rhs.dtype)
+    c = np.zeros(tri_u.shape, dtype=np.result_type(tri_u, rhs))
+    c[0] = tri_u[0] / tri_d[0]
+    for k in range(1, n - 1):
+        c[k] = tri_u[k] / (tri_d[k] - tri_l[k] * c[k - 1])
+    x[0] = x[0] / tri_d[0]
+    for k in range(1, n):
+        x[k] = (x[k] - tri_l[k] * x[k - 1]) / \
+            (tri_d[k] - tri_l[k] * c[k - 1])
+    for k in range(n - 2, -1, -1):
+        x[k] = x[k] - c[k] * x[k + 1]
+    return x
+
+
+def pressure_solve_oracle(rhs_dens, rhs_v, rhs_w, dt, dz_d, dz_p, dx, dy,
+                          cst, ref, gravity=False):
+    """CompressiblePressure[Gravity]LinearSystem: compute_coefficients +
+    prepare_pressure_rhs + solve_for_pressure + update_velocity +
+    update_densities (extrudedmodel.h:3530-3970; gravity variant
+    :3970-4580), scalar transliteration per x-wavenumber with numpy's
+    rfft (slab, diff_ord=2 so every Hodge star is its diagonal). Thermo:
+    ConstantKappa_VirtualPottemp closed forms (thermo.h:150-200), the
+    coupled-configuration potential. Returns (sol_dens, sol_v, sol_w)."""
+    ndens, nens, nz, nx = rhs_dens.shape
+    al = dt / 2.0
+    nact = 2
+    nl = nz - 1
+    nxr = nx // 2 + 1
+    rho_pi, q_pi = ref["rho_pi"], ref["q_pi"]
+    rho_di, q_di = ref["rho_di"], ref["q_di"]
+    pres_pi = ref["pres_pi"]
+    sol_dens = np.zeros_like(rhs_dens)
+    sol_v = np.zeros_like(rhs_v)
+    sol_w = np.zeros_like(rhs_w)
+    for e in range(nens):
+        fHn1bar = 1.0 / (dx * dy * dz_d[e])          # (nz,)
+        fH1 = dz_d[e] * dy / dx
+
+        def h01(k):
+            # H01_diagonal at interface k. The reference evaluates its
+            # geometry formula at every k; rows 0 and nz only ever reach
+            # the tridiagonal through terms the boundary branches exclude
+            # (tri_d at k==0/nz-1) or rows never read (tri_l[0]/tri_u[-1]),
+            # so zeroing them is equivalent (see the build loop,
+            # extrudedmodel.h:3648-3659).
+            if k <= 0 or k >= nz:
+                return 0.0
+            return dx * dy / dz_p[e][k - 1]
+
+        # linear pressure coefficients + omega (variableset.h
+        # linear_pressure_coeffs VS_MCE_rho:1576-1591; the
+        # ConstantKappa_VirtualPottemp soundspeed/dpds ignore qd/qv)
+        linp = np.zeros((nact, nz))
+        omega = np.zeros(nz)
+        for k in range(nz):
+            rho_ref = rho_pi[e, k]
+            alpha_ref = 1.0 / rho_ref
+            s_ref = q_pi[1, e, k]
+            p_ref = cst.pr * (s_ref * rho_ref * cst.Rd / cst.pr) ** \
+                cst.gamma_d
+            dpds = cst.gamma_d * p_ref / s_ref
+            cs2 = cst.gamma_d * p_ref * alpha_ref
+            linp[0, k] = cs2 - s_ref * alpha_ref * dpds
+            linp[1, k] = alpha_ref * dpds
+            omega[k] = linp[0, k] + linp[1, k] * q_pi[1, e, k]
+
+        # horizontal factor per rfft bin (the gravity variant's Fhorz,
+        # :4155-4180 — identical to the plain tri_d before vertical terms)
+        Fhorz = np.zeros((nz, nxr))
+        for ik in range(nxr):
+            th = 2.0 * np.pi * ik / nx
+            fDD = 2.0 * (np.cos(th) - 1.0)
+            for k in range(nz):
+                f = 1.0
+                for dd in range(nact):
+                    f -= al * al * linp[dd, k] * fHn1bar[k] * fH1[k] * \
+                        fDD * q_pi[dd, e, k]
+                Fhorz[k, ik] = f
+
+        if not gravity:
+            # plain pressure tridiagonal (:3636-3659)
+            tri_l = np.zeros((nz, nxr))
+            tri_d = np.array(Fhorz)
+            tri_u = np.zeros((nz, nxr))
+            for ik in range(nxr):
+                for k in range(nz):
+                    for d in range(nact):
+                        rp1 = rho_pi[e, k + 1] if k + 1 < nz else \
+                            rho_pi[e, k]      # halo read; killed by h01
+                        rm1 = rho_pi[e, k - 1] if k - 1 >= 0 else \
+                            rho_pi[e, k]
+                        rhofac_kp1 = rho_di[e, k + 1] * 0.5 * \
+                            (1.0 / rp1 + 1.0 / rho_pi[e, k])
+                        rhofac_k = rho_di[e, k] * 0.5 * \
+                            (1.0 / rho_pi[e, k] + 1.0 / rm1)
+                        beta_kp1 = q_di[d, e, k + 1] * rhofac_kp1 * \
+                            h01(k + 1)
+                        beta_k = q_di[d, e, k] * rhofac_k * h01(k)
+                        alpha_k = -al * al * fHn1bar[k] * linp[d, k]
+                        tri_u[k, ik] += alpha_k * beta_kp1
+                        tri_l[k, ik] += alpha_k * beta_k
+                        if k == 0:
+                            tri_d[k, ik] += -alpha_k * beta_kp1
+                        elif k == nz - 1:
+                            tri_d[k, ik] += -alpha_k * beta_k
+                        else:
+                            tri_d[k, ik] += -alpha_k * (beta_kp1 + beta_k)
+        else:
+            # gravity variant coefficients (:4067-4243)
+            dp = pres_pi[e, 1:] - pres_pi[e, :-1]    # (nl,)
+            Dmod_u = np.zeros(nl)
+            Dmod_d = np.zeros(nl)
+            for k in range(nl):
+                inv_rho_mid = 0.5 * (1.0 / rho_pi[e, k + 1] +
+                                     1.0 / rho_pi[e, k])
+                c_k = 1.0 / (rho_pi[e, k] ** 2 * omega[k])
+                c_kp1 = 1.0 / (rho_pi[e, k + 1] ** 2 * omega[k + 1])
+                Dmod_u[k] = inv_rho_mid - 0.5 * c_kp1 * dp[k]
+                Dmod_d[k] = -inv_rho_mid - 0.5 * c_k * dp[k]
+            A_l = np.zeros(nl)
+            A_d = np.ones(nl)
+            A_u = np.zeros(nl)
+            for k in range(nl):
+                for d in range(1, nact):
+                    gamma_kp1 = 0.0 if k == nl - 1 else \
+                        rho_di[e, k + 2] * h01(k + 2) * \
+                        (q_pi[1, e, k + 2] - q_pi[1, e, k + 1])
+                    gamma_k = rho_di[e, k + 1] * h01(k + 1) * \
+                        (q_pi[1, e, k + 1] - q_pi[1, e, k])
+                    gamma_km1 = 0.0 if k == 0 else \
+                        rho_di[e, k] * h01(k) * \
+                        (q_pi[1, e, k] - q_pi[1, e, k - 1])
+                    beta_kp1 = fHn1bar[k + 1] * linp[d, k + 1] / \
+                        (rho_pi[e, k + 1] ** 2 * omega[k + 1])
+                    beta_k = fHn1bar[k] * linp[d, k] / \
+                        (rho_pi[e, k] ** 2 * omega[k])
+                    alpha_k = -al * al / 4.0 * dp[k]
+                    A_u[k] += alpha_k * beta_kp1 * gamma_kp1
+                    A_d[k] += alpha_k * (beta_kp1 + beta_k) * gamma_k
+                    A_l[k] += alpha_k * beta_k * gamma_km1
+            tri_l = np.zeros((nl, nxr))
+            tri_d = np.zeros((nl, nxr))
+            tri_u = np.zeros((nl, nxr))
+            for ik in range(nxr):
+                for k in range(nl):
+                    u_ = A_u[k]
+                    d_ = A_d[k]
+                    l_ = A_l[k]
+                    gamma_kp1 = 0.0 if k == nl - 1 else \
+                        rho_di[e, k + 2] * h01(k + 2)
+                    gamma_k = rho_di[e, k + 1] * h01(k + 1)
+                    gamma_km1 = 0.0 if k == 0 else rho_di[e, k] * h01(k)
+                    for d in range(nact):
+                        beta_k = fHn1bar[k] * linp[d, k] / Fhorz[k, ik] * \
+                            Dmod_d[k]
+                        beta_kp1 = fHn1bar[k + 1] * linp[d, k + 1] / \
+                            Fhorz[k + 1, ik] * Dmod_u[k]
+                        u_ -= al * al * beta_kp1 * gamma_kp1 * \
+                            q_di[d, e, k + 2]
+                        d_ -= al * al * (beta_k - beta_kp1) * gamma_k * \
+                            q_di[d, e, k + 1]
+                        l_ -= -al * al * beta_k * gamma_km1 * q_di[d, e, k]
+                    tri_u[k, ik] = u_
+                    tri_d[k, ik] = d_
+                    tri_l[k, ik] = l_
+
+        def fluxes(vv, ww):
+            F = vv * (dz_d[e][:, None] * dy / dx) * rho_pi[e][:, None]
+            FW = np.zeros((nz + 1, nx))
+            for k in range(1, nz):
+                FW[k] = ww[k - 1] * (dx * dy / dz_p[e][k - 1]) * \
+                    rho_di[e, k]
+            return F, FW
+
+        def wdiv(F, FW, nd_):
+            out = np.zeros((nd_, nz, nx))
+            for d in range(nd_):
+                for k in range(nz):
+                    out[d, k] = (q_pi[d, e, k] *
+                                 (np.roll(F[k], -1) - F[k]) +
+                                 q_di[d, e, k + 1] * FW[k + 1] -
+                                 q_di[d, e, k] * FW[k])
+            return out
+
+        rw = np.array(rhs_w[e])                      # (nl, nx)
+        if gravity:
+            # prepare: modify rhs_w in place (:4279-4349)
+            Bv = np.zeros((nact, nz, nx))
+            for d in range(nact):
+                for k in range(nz):
+                    Bv[d, k] = fHn1bar[k] * (rhs_dens[d, e, k] -
+                                             q_pi[d, e, k] *
+                                             rhs_dens[0, e, k])
+            B0 = np.zeros((nz, nx))
+            for k in range(nz):
+                acc = np.zeros(nx)
+                for d in range(nact):
+                    acc += linp[d, k] * Bv[d, k]
+                B0[k] = acc / (omega[k] * rho_pi[e, k] ** 2)
+            for k in range(nl):
+                rw[k] = rw[k] - al * 0.5 * (B0[k + 1] + B0[k]) * dp[k]
+            rw = _thomas(A_l, A_d, A_u, rw)
+
+        # common rhs preparation (:3694-3763) with the (possibly modified)
+        # rhs_w
+        F, FW = fluxes(rhs_v[e], rw)
+        mf = rhs_dens[:nact, e] - al * wdiv(F, FW, nact)
+        Bq = mf * fHn1bar[None, :, None]
+        prhs = np.einsum('dk,dkx->kx', linp, Bq)
+        phat = np.fft.rfft(prhs, axis=-1)            # (nz, nxr)
+
+        if gravity:
+            qt = np.zeros((nl, nxr), complex)
+            for k in range(nl):
+                qt[k] = Dmod_u[k] * phat[k + 1] / Fhorz[k + 1] + \
+                    Dmod_d[k] * phat[k] / Fhorz[k]
+            qt = _thomas(tri_l, tri_d, tri_u, qt)
+            for k in range(nz):
+                for d in range(nact):
+                    f_k = 0.0 if k == 0 else \
+                        rho_di[e, k] * q_di[d, e, k] * h01(k) * qt[k - 1]
+                    f_kp1 = 0.0 if k == nz - 1 else \
+                        rho_di[e, k + 1] * q_di[d, e, k + 1] * \
+                        h01(k + 1) * qt[k]
+                    phat[k] += al * al * linp[d, k] * fHn1bar[k] * \
+                        (f_kp1 - f_k)
+                phat[k] /= Fhorz[k]
+        else:
+            phat = _thomas(tri_l, tri_d, tri_u, phat)
+        p = np.fft.irfft(phat, nx, axis=-1)
+
+        # update_velocity (:3860-3917 / gravity :4500-4575)
+        if gravity:
+            dpdz = np.zeros((nl, nx))
+            for k in range(nl):
+                dpdz[k] = Dmod_u[k] * p[k + 1] + Dmod_d[k] * p[k]
+            sw = _thomas(A_l, A_d, A_u, -al * dpdz)
+            sw = sw + rw          # rhs_w as modified by prepare
+        else:
+            sw = np.zeros((nl, nx))
+            for k in range(nl):
+                sw[k] = rw[k] - al * (p[k + 1] - p[k]) / rho_di[e, k + 1]
+        sv_ = np.zeros((nz, nx))
+        for k in range(nz):
+            sv_[k] = rhs_v[e, k] - al * (p[k] - np.roll(p[k], 1)) / \
+                rho_pi[e, k]
+
+        # update_densities over ALL prognostic densities (:3919-3969)
+        F2, FW2 = fluxes(sv_, sw)
+        sol_dens[:, e] = rhs_dens[:, e] - al * wdiv(F2, FW2, ndens)
+        sol_v[e] = sv_
+        sol_w[e] = sw
+    return sol_dens, sol_v, sol_w

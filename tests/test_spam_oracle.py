@@ -64,6 +64,7 @@ def setup():
                rho_di=np.asarray(tend.ref_rho_di),
                q_di=np.asarray(tend.ref_q_di),
                Nsq_pi=np.asarray(refstate0["Nsq_pi"]),
+               pres_pi=np.asarray(refstate0["pres_pi"]),
                grav=dyc.grav, ids=ids, B_ref=np.asarray(tend.ref_B))
     geo = dict(dz_d=np.asarray(g.dz_d), dz_p=np.asarray(g.dz_p),
                dx=float(g.dx), dy=float(g.dy),
@@ -71,7 +72,8 @@ def setup():
     return dict(drv=drv, dyc=dyc, tend=tend, dens=np.asarray(dens),
                 v=np.asarray(v), w=np.asarray(w),
                 geop=np.asarray(dyc.geop), mats=mats, ref=ref, geo=geo,
-                cst=dyc.thermo.cst, dens_pos=list(vs.dens_pos))
+                cst=dyc.thermo.cst, dens_pos=list(vs.dens_pos),
+                refstate0=refstate0)
 
 
 def _cmp(got, want, what, rtol=1e-10):
@@ -157,3 +159,62 @@ def test_si_step_matches_oracle(setup):
     _cmp(xn[2], xo[2], "si w")
     for l in range(xo[0].shape[0]):
         _cmp(np.asarray(xn[0])[l], xo[0][l], f"si dens[{l}]")
+
+
+def _pressure_rhs(s, seed=7):
+    rng = np.random.default_rng(seed)
+    nens, nz, nx = s["v"].shape
+    ndens = s["dens"].shape[0]
+    rhs_dens = 1e-3 * rng.standard_normal((ndens, nens, nz, nx)) * \
+        (1.0 + np.abs(s["dens"]))
+    rhs_v = 50.0 * rng.standard_normal((nens, nz, nx))
+    rhs_w = 50.0 * rng.standard_normal((nens, nz - 1, nx))
+    return rhs_dens, rhs_v, rhs_w
+
+
+def test_si_pressure_solve_matches_oracle(setup):
+    """The reference's YAML-DEFAULT linear system (linear_system ==
+    "pressure", extrudedmodel.h:5059) against the scalar transliteration
+    of compute_coefficients + prepare/solve/update
+    (extrudedmodel.h:3530-3970) — direct oracle coverage replacing the
+    transitive velocity-system cross-check (VERDICT r4 item 7)."""
+    from pam_tpu.spam import si as si_mod
+    s = setup
+    dyc = s["dyc"]
+    linp = si_mod.CompressiblePressureLinearSystem.build(
+        dyc.geom, dyc.thermo, dyc.varset, s["refstate0"], dyc.si_dt)
+    rhs_dens, rhs_v, rhs_w = _pressure_rhs(s)
+    sd, sv_, sw = jax.jit(linp.solve)(jnp.asarray(rhs_dens),
+                                      jnp.asarray(rhs_v),
+                                      jnp.asarray(rhs_w))
+    sdo, svo, swo = orc.pressure_solve_oracle(
+        rhs_dens, rhs_v, rhs_w, dyc.si_dt, s["geo"]["dz_d"],
+        s["geo"]["dz_p"], s["geo"]["dx"], s["geo"]["dy"], s["cst"],
+        s["ref"], gravity=False)
+    _cmp(sv_, svo, "pressure sol_v")
+    _cmp(sw, swo, "pressure sol_w")
+    for l in range(sdo.shape[0]):
+        _cmp(np.asarray(sd)[l], sdo[l], f"pressure sol_dens[{l}]")
+
+
+def test_si_pressure_gravity_solve_matches_oracle(setup):
+    """The gravity-aware pressure system (the stratification-robust
+    variant, extrudedmodel.h:3970-4580) against its transliteration, on
+    the same stratified coupled column."""
+    from pam_tpu.spam import si as si_mod
+    s = setup
+    dyc = s["dyc"]
+    ling = si_mod.CompressiblePressureGravityLinearSystem.build(
+        dyc.geom, dyc.thermo, dyc.varset, s["refstate0"], dyc.si_dt)
+    rhs_dens, rhs_v, rhs_w = _pressure_rhs(s, seed=8)
+    sd, sv_, sw = jax.jit(ling.solve)(jnp.asarray(rhs_dens),
+                                      jnp.asarray(rhs_v),
+                                      jnp.asarray(rhs_w))
+    sdo, svo, swo = orc.pressure_solve_oracle(
+        rhs_dens, rhs_v, rhs_w, dyc.si_dt, s["geo"]["dz_d"],
+        s["geo"]["dz_p"], s["geo"]["dx"], s["geo"]["dy"], s["cst"],
+        s["ref"], gravity=True)
+    _cmp(sv_, svo, "pressure-gravity sol_v")
+    _cmp(sw, swo, "pressure-gravity sol_w")
+    for l in range(sdo.shape[0]):
+        _cmp(np.asarray(sd)[l], sdo[l], f"pressure-gravity sol_dens[{l}]")
