@@ -74,10 +74,15 @@ def _mirror_iface_idx(k, n):
     return k
 
 
-def _weno_edges(sten, mats):
-    """Both edge values (left, right) of the WENOFUNC polynomial."""
-    aw = compute_weno_coefs(mats["wrl"], mats["s2c"], sten, mats["idl"],
-                            mats["sigma"])
+def _weno_edges(sten, mats, s2c=None, wrl=None):
+    """Both edge values (left, right) of the WENOFUNC polynomial. s2c/wrl
+    override mats' uniform matrices with per-level variable-grid ones
+    (weno_func_recon_variable.h path; the matrices themselves are
+    validated independently by polynomial exactness on stretched grids,
+    tests/test_recon.py::test_variable_grid_exact_on_stretched)."""
+    aw = compute_weno_coefs(mats["wrl"] if wrl is None else wrl,
+                            mats["s2c"] if s2c is None else s2c,
+                            sten, mats["idl"], mats["sigma"])
     c2g = mats["c2g"]
     left = sum(c2g[s, 0] * aw[s] for s in range(len(sten)))
     right = sum(c2g[s, 1] * aw[s] for s in range(len(sten)))
@@ -191,7 +196,8 @@ def fd_oracle(dens, v, w, geop, dz_d, dz_p, dx, dy, cst, moist=True,
 
 # --------------------------------------------------------- apply_symplectic
 def apply_symplectic_oracle(dens, v, w, F, FW, B, dt, dz_d, dz_p, dx, dy,
-                            mats, ref, dens_pos, Frec=None, FWrec=None):
+                            mats, ref, dens_pos, Frec=None, FWrec=None,
+                            vmats=None):
     """(extrudedmodel.h apply_symplectic:2173-2486). F/FW/B are the
     (possibly discrete-gradient-averaged) functional derivatives used for
     the FCT edge fluxes and the final tendencies; Frec/FWrec (default
@@ -274,8 +280,13 @@ def apply_symplectic_oracle(dens, v, w, F, FW, B, dt, dz_d, dz_p, dx, dy,
                     sten = np.array([
                         dens0[l, _mirror_iface_idx(k + p - hs, nz), i]
                         for p in range(2 * hs + 1)])
-                    db_edge[l, k, i], dt_edge[l, k, i] = _weno_edges(sten,
-                                                                     mats)
+                    if vmats is None:
+                        db_edge[l, k, i], dt_edge[l, k, i] = _weno_edges(
+                            sten, mats)
+                    else:
+                        db_edge[l, k, i], dt_edge[l, k, i] = _weno_edges(
+                            sten, mats, s2c=vmats["dens"][0][e, k],
+                            wrl=vmats["dens"][1][e, k])
 
         # ---- densrecon at x-edges (compute_recons:1032-1087)
         densrecon = np.empty((ndens, nz, nx))
@@ -318,7 +329,12 @@ def apply_symplectic_oracle(dens, v, w, F, FW, B, dt, dz_d, dz_p, dx, dy,
                 sten = np.array([
                     qhz[_mirror_iface_idx(k + 1 + p - hs, nz + 1), i]
                     for p in range(2 * hs + 1)])
-                qb_edge[k, i], qt_edge[k, i] = _weno_edges(sten, mats)
+                if vmats is None:
+                    qb_edge[k, i], qt_edge[k, i] = _weno_edges(sten, mats)
+                else:
+                    qb_edge[k, i], qt_edge[k, i] = _weno_edges(
+                        sten, mats, s2c=vmats["q"][0][e, k],
+                        wrl=vmats["q"][1][e, k])
 
         qhzrecon = np.empty((nl_p, nx))        # straight x edges per w-layer
         for k in range(nl_p):
@@ -456,13 +472,13 @@ def apply_symplectic_oracle(dens, v, w, F, FW, B, dt, dz_d, dz_p, dx, dy,
 
 # ------------------------------------------------------ compute_rhs / SI
 def compute_rhs_oracle(dens, v, w, geop, dt, dz_d, dz_p, dx, dy, cst, mats,
-                       ref, dens_pos):
+                       ref, dens_pos, vmats=None):
     """model.h Tendencies::compute_rhs:275-284 (needs_to_recompute_F=false:
     the recon fluxes ARE the functional-derivative F/FW)."""
     F, FW, K, B = fd_oracle(dens, v, w, geop, dz_d, dz_p, dx, dy, cst,
                             ids=ref.get("ids"))
     return apply_symplectic_oracle(dens, v, w, F, FW, B, dt, dz_d, dz_p,
-                                   dx, dy, mats, ref, dens_pos)
+                                   dx, dy, mats, ref, dens_pos, vmats=vmats)
 
 
 def velocity_solve_oracle(rhs_dens, rhs_v, rhs_w, dt, dz_d, dz_p, dx, dy,
@@ -682,13 +698,14 @@ def velocity_solve_oracle(rhs_dens, rhs_v, rhs_w, dt, dz_d, dz_p, dx, dy,
 
 def si_step_oracle(dens, v, w, geop, dt, dz_d, dz_p, dx, dy, cst, mats, ref,
                    dens_pos, zint_p, max_iters=3, quad_pts=None,
-                   quad_wts=None):
+                   quad_wts=None, vmats=None):
     """SI_Newton.h step_forward:31-149 with the quadrature discrete
     gradient; the final iteration is solve-only (the port's structural
     DCE of the dead last gradient evaluation — SI_Newton.h:91-93)."""
     x = (dens, v, w)
     td, tv, tw = compute_rhs_oracle(dens, v, w, geop, dt, dz_d, dz_p, dx,
-                                    dy, cst, mats, ref, dens_pos)
+                                    dy, cst, mats, ref, dens_pos,
+                                    vmats=vmats)
     xn = tuple(a.copy() for a in x)
     res = (-dt * td, -dt * tv, -dt * tw)
     for it in range(max_iters - 1):
@@ -711,7 +728,7 @@ def si_step_oracle(dens, v, w, geop, dt, dz_d, dz_p, dx, dy, cst, mats, ref,
                                   dx, dy, cst, ids=ref.get("ids"))
         td, tv, tw = apply_symplectic_oracle(
             xm[0], xm[1], xm[2], Fa, FWa, Ba, dt, dz_d, dz_p, dx, dy, mats,
-            ref, dens_pos, Frec=F2, FWrec=FW2)
+            ref, dens_pos, Frec=F2, FWrec=FW2, vmats=vmats)
         res = (x[0] - xn[0] - dt * td, x[1] - xn[1] - dt * tv,
                x[2] - xn[2] - dt * tw)
     sol = velocity_solve_oracle(*res, dt, dz_d, dz_p, dx, dy, cst, ref,

@@ -18,14 +18,23 @@ from pam_tpu.ops import recon_matrices as rm
 import spam_oracle as orc
 
 
-@pytest.fixture(scope="module")
-def setup():
+@pytest.fixture(scope="module", params=["uniform", "stretched"])
+def setup(request):
     from pam_tpu.driver.mmf import setup_supercell_mmf
     from pam_tpu.spam import si as si_mod
+    nz, zlen = 6, 20000.0
+    if request.param == "stretched":
+        # geometrically stretched vertical interfaces (the vcoords-grid
+        # regime, driver.cpp:135-170): exercises the per-level WENOFUNC
+        # matrices (weno_func_recon_variable.h) through the whole SI chain
+        r = 1.35
+        zint = zlen * (r ** np.arange(nz + 1) - 1.0) / (r ** nz - 1.0)
+    else:
+        zint = None
     drv, state = setup_supercell_mmf(
-        nx=8, ny=1, nz=6, nens=2, xlen=16000.0, ylen=64000.0, zlen=20000.0,
+        nx=8, ny=1, nz=nz, nens=2, xlen=16000.0, ylen=64000.0, zlen=zlen,
         micro="kessler", dt_gcm=80.0, dt_crm_phys=20.0, dycore="spam",
-        dtype=jnp.float64)
+        dtype=jnp.float64, zint=zint)
     dyc = drv.dycore
     tend = dyc.tend
     # rebuild the (deterministic) coupled reference state to recover the
@@ -69,11 +78,21 @@ def setup():
     geo = dict(dz_d=np.asarray(g.dz_d), dz_p=np.asarray(g.dz_p),
                dx=float(g.dx), dy=float(g.dy),
                zint_p=np.asarray(g.zint_p))
+    # per-level variable-grid vertical matrices for the oracle on
+    # stretched grids (None on uniform); the matrices themselves are
+    # validated independently by polynomial exactness
+    # (tests/test_recon.py::test_variable_grid_exact_on_stretched)
+    vmats = None
+    if not g.uniform_vertical:
+        pd = tend.vert_per_level()
+        pq = tend.vert_per_level_q()
+        vmats = dict(dens=(np.asarray(pd[0]), np.asarray(pd[1])),
+                     q=(np.asarray(pq[0]), np.asarray(pq[1])))
     return dict(drv=drv, dyc=dyc, tend=tend, dens=np.asarray(dens),
                 v=np.asarray(v), w=np.asarray(w),
                 geop=np.asarray(dyc.geop), mats=mats, ref=ref, geo=geo,
                 cst=dyc.thermo.cst, dens_pos=list(vs.dens_pos),
-                refstate0=refstate0)
+                refstate0=refstate0, vmats=vmats)
 
 
 def _cmp(got, want, what, rtol=1e-10):
@@ -111,7 +130,7 @@ def test_apply_symplectic_matches_oracle(setup):
         s["dens"], s["v"], s["w"], np.asarray(F), np.asarray(FW),
         np.asarray(B), dt, s["geo"]["dz_d"], s["geo"]["dz_p"],
         s["geo"]["dx"], s["geo"]["dy"], s["mats"], s["ref"],
-        s["dens_pos"])
+        s["dens_pos"], vmats=s["vmats"])
     _cmp(tv, tvo, "vtend")
     _cmp(tw, two, "wtend")
     for l in range(tdo.shape[0]):
@@ -154,7 +173,8 @@ def test_si_step_matches_oracle(setup):
         s["dens"], s["v"], s["w"], s["geop"], dt, s["geo"]["dz_d"],
         s["geo"]["dz_p"], s["geo"]["dx"], s["geo"]["dy"], s["cst"],
         s["mats"], s["ref"], s["dens_pos"], s["geo"]["zint_p"],
-        max_iters=2, quad_pts=np.asarray(pts), quad_wts=np.asarray(wts))
+        max_iters=2, quad_pts=np.asarray(pts), quad_wts=np.asarray(wts),
+        vmats=s["vmats"])
     _cmp(xn[1], xo[1], "si v")
     _cmp(xn[2], xo[2], "si w")
     for l in range(xo[0].shape[0]):
