@@ -451,3 +451,62 @@ def compute_tendencies_oracle(dyn, tracers_in, tracers_start, dt, dx, dy,
                             - (tfz[t, k + 1, j, i, e] - tfz[t, k, j, i, e]) /
                             dz[k, e])
     return s_tend, t_tend
+
+
+# ------------------------------------------------------------ full timeStep
+def compute_time_step_oracle(rho_d, uvel, vvel, wvel, temp, rho_v, dx, dy,
+                             dz2, C, cfl=0.8):
+    """(Dycore.h compute_time_step:65-102): global min of the per-cell
+    acoustic CFL limits. Inputs in coupler layout (nens, nz, ny, nx);
+    dz2: (nz, nens)."""
+    rho = rho_d + rho_v
+    p = (rho_d * C["R_d"] + rho_v * C["R_v"]) * temp
+    cs = np.sqrt(C["gamma_d"] * p / rho)
+    dz = np.transpose(dz2)[:, :, None, None]      # (nens, nz, 1, 1)
+    dtx = cfl * dx / (np.abs(uvel) + cs)
+    dty = cfl * dy / (np.abs(vvel) + cs)
+    dtz = cfl * dz / (np.abs(wvel) + cs)
+    return float(np.min(np.minimum(np.minimum(dtx, dty), dtz)))
+
+
+def time_step_oracle(dyn, tracers, dt_phys, dt_dyn, dx, dy, dz2, hy_dens,
+                     hy_pres, tracer_positive, C, mats,
+                     seam_rule="uniform"):
+    """Dycore::timeStep (Dycore.h:107-255) minus the coupler conversions:
+    the tracer positivity pre-clamp, ncycles = ceil(dt_phys/dt_dyn)
+    acoustic sub-cycles, and per cycle the 3-stage SSPRK3 with the
+    reference's per-stage FCT starting-point bookkeeping (tracers_tend
+    seeded with the NEXT stage's convex starting combination before each
+    compute_tendencies call) and the machine-precision positivity clamps
+    after every stage. dyn/tracers in oracle layout (v, nz, ny, nx, e)."""
+    pos = np.asarray(tracer_positive, bool)[:, None, None, None, None]
+    tracers = np.where(pos, np.maximum(tracers, 0.0), tracers)
+    ncycles = int(np.ceil(dt_phys / dt_dyn))
+    dt = dt_phys / ncycles
+
+    def clamp(tr):
+        return np.where(pos, np.maximum(tr, 0.0), tr)
+
+    def tend(d, t, ts, dtt):
+        return compute_tendencies_oracle(d, t, ts, dtt, dx, dy, dz2,
+                                         hy_dens, hy_pres, tracer_positive,
+                                         C, mats, seam_rule=seam_rule)
+
+    for _ in range(ncycles):
+        # Stage 1 (:157-180)
+        st, tt = tend(dyn, tracers, tracers, dt)
+        dyn1 = dyn + dt * st
+        trac1 = clamp(tracers + dt * tt)
+        start2 = 0.75 * tracers + 0.25 * trac1
+        # Stage 2 (:181-204)
+        st, tt = tend(dyn1, trac1, start2, 0.25 * dt)
+        dyn2 = 0.75 * dyn + 0.25 * dyn1 + 0.25 * dt * st
+        trac2 = clamp(0.75 * tracers + 0.25 * trac1 + 0.25 * dt * tt)
+        start3 = (1.0 / 3.0) * tracers + (2.0 / 3.0) * trac2
+        # Stage 3 (:205-221)
+        st, tt = tend(dyn2, trac2, start3, (2.0 / 3.0) * dt)
+        dyn = (1.0 / 3.0) * dyn + (2.0 / 3.0) * dyn2 + \
+            (2.0 / 3.0) * dt * st
+        tracers = clamp((1.0 / 3.0) * tracers + (2.0 / 3.0) * trac2 +
+                        (2.0 / 3.0) * dt * tt)
+    return dyn, tracers

@@ -149,3 +149,54 @@ def test_seam_rule_documented_deviation():
     diff = np.abs(tt_uni - tt_ref)
     # interior cells (not adjacent to the x seam) must be identical
     assert diff[:, :, :, 1:-1, :].max() == 0.0
+
+
+def test_awfl_full_timestep_matches_oracle():
+    """The FULL Dycore::timeStep above the single oracled tendencies
+    evaluation (VERDICT r4 item 3d): positivity pre-clamp, the acoustic
+    CFL dt and >=2 sub-cycles, and per cycle the 3-stage SSPRK3 with the
+    per-stage FCT starting-point bookkeeping (Dycore.h:107-255). The
+    coupler conversions on both sides are the port's own (validated by
+    the GCM round-trip tests), so the comparison isolates the time loop."""
+    cpl, dyc, state, dzc = _setup(nx=8, ny=1, nz=6, nens=2, seed=5)
+    c = cpl.const
+    C = {"gamma_d": c.gamma_d, "C0": c.C0, "grav": c.grav,
+         "R_d": c.R_d, "R_v": c.R_v}
+    nz, nens = 6, 2
+    dz2 = np.broadcast_to(dzc[:, None], (nz, nens)).copy()
+    dt_dyn_o = orc.compute_time_step_oracle(
+        *(np.asarray(state[k]) for k in ("density_dry", "uvel", "vvel",
+                                         "wvel", "temp", "water_vapor")),
+        cpl.dx, cpl.dy, dz2, C, cfl=dyc.cfl)
+    dt_dyn_p = float(jax.jit(dyc.compute_time_step)(state))
+    np.testing.assert_allclose(dt_dyn_p, dt_dyn_o, rtol=1e-14)
+    dt_phys = 2.5 * dt_dyn_o               # forces ncycles >= 2 (here 3)
+    assert int(np.ceil(dt_phys / dt_dyn_o)) >= 2
+
+    out = jax.jit(lambda s: dyc.timestep(s, dt_phys))(state)
+
+    dyn, tracers = dyc.coupler_to_dynamics(state)
+    to_orc = lambda a: np.transpose(np.asarray(a), (0, 3, 2, 4, 1))
+    from_orc = lambda a: jnp.asarray(np.transpose(a, (0, 4, 2, 1, 3)))
+    hy_dens = np.transpose(np.asarray(state["hy_dens_cells"]))
+    hy_pres = np.transpose(np.asarray(state["hy_pressure_cells"]))
+    from pam_tpu.ops import recon_matrices as rm2
+    s2c_v, wrl_v = rm2.vertical_recon_matrices(
+        np.broadcast_to(dzc, (nens, nz)), dyc.ord)
+    idl, sigma = rm2.weno_ideal_weights(dyc.ord)
+    mats = dict(s2c=rm2.sten_to_coefs(dyc.ord),
+                wrl=rm2.weno_lower_sten_to_coefs(dyc.ord),
+                c2g=rm2.coefs_to_gll_lower(dyc.ord),
+                idl=idl, sigma=sigma, vert_s2c=s2c_v, vert_wrl=wrl_v)
+    dyn_o, trac_o = orc.time_step_oracle(
+        to_orc(dyn), to_orc(tracers), dt_phys, dt_dyn_o, cpl.dx, cpl.dy,
+        dz2, hy_dens, hy_pres, list(cpl.tracer_positive), C, mats,
+        seam_rule="uniform")
+    out_o = dyc.dynamics_to_coupler(state, from_orc(dyn_o),
+                                    from_orc(trac_o))
+    for k in ("density_dry", "uvel", "wvel", "temp", "water_vapor",
+              "puff", "chi"):
+        a, b = np.asarray(out[k]), np.asarray(out_o[k])
+        scale = max(1.0, float(np.abs(b).max()))
+        np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-8 * scale,
+                                   err_msg=f"timestep {k}")
