@@ -154,10 +154,25 @@ class MmfDriver:
             # dynamic-update-slice result stitching (measured 73.1 vs
             # 55.3 ms/step at nens=512/chunk=128 on the production
             # P3+SHOC config, and 16.5 vs 15.7 for Kessler, round 4)
-            outs = [self._crm_phys_step_single(
-                jax.tree.map(lambda a: a[i * (a.shape[0] // n_chunks):
-                                         (i + 1) * (a.shape[0] // n_chunks)],
-                             state)) for i in range(n_chunks)]
+            import os
+            serialize = os.environ.get("PAM_MB_SERIALIZE", "1") != "0"
+            outs = []
+            for i in range(n_chunks):
+                chunk = jax.tree.map(
+                    lambda a: a[i * (a.shape[0] // n_chunks):
+                                (i + 1) * (a.shape[0] // n_chunks)], state)
+                if serialize and outs:
+                    # barrier-chain the chunks so XLA cannot interleave
+                    # their schedules: interleaving defeats the VMEM
+                    # residency that motivates micro-batching (measured
+                    # round 5: P3+SHOC nens=512 55.4 -> 48.6 ms/step,
+                    # restoring 100% of the nens=128 per-point peak; the
+                    # barrier only constrains the schedule, results are
+                    # identical). PAM_MB_SERIALIZE=0 disables (cold
+                    # compile of the chained form is ~4x slower).
+                    chunk, _ = jax.lax.optimization_barrier(
+                        (chunk, outs[-1]))
+                outs.append(self._crm_phys_step_single(chunk))
             return jax.tree.map(
                 lambda *xs: jnp.concatenate(xs, axis=0), *outs)
         chunked = jax.tree.map(split, state)
