@@ -197,7 +197,7 @@ def fd_oracle(dens, v, w, geop, dz_d, dz_p, dx, dy, cst, moist=True,
 # --------------------------------------------------------- apply_symplectic
 def apply_symplectic_oracle(dens, v, w, F, FW, B, dt, dz_d, dz_p, dx, dy,
                             mats, ref, dens_pos, Frec=None, FWrec=None,
-                            vmats=None):
+                            vmats=None, anelastic=False):
     """(extrudedmodel.h apply_symplectic:2173-2486). F/FW/B are the
     (possibly discrete-gradient-averaged) functional derivatives used for
     the FCT edge fluxes and the final tendencies; Frec/FWrec (default
@@ -314,6 +314,10 @@ def apply_symplectic_oracle(dens, v, w, F, FW, B, dt, dz_d, dz_p, dx, dy,
                         dt_edge[l, kv - 1, i] * up
                     r += ref["rho_di"][e, kv] * ref["q_di"][l, e, kv]
                     densvertrecon[l, kv, i] = r / hew
+
+        if anelastic:
+            densrecon[0] = 1.0
+            densvertrecon[0] = 1.0
 
         # ---- qhz recons (straight, the +1 twist; recon.h:176-290,545-600)
         nl_p = nz - 1
@@ -999,3 +1003,101 @@ def pressure_solve_oracle(rhs_dens, rhs_v, rhs_w, dt, dz_d, dz_p, dx, dy,
         sol_v[e] = sv_
         sol_w[e] = sw
     return sol_dens, sol_v, sol_w
+
+
+# ---------------------------------------------------------------------------
+# Anelastic (AN) variant: Hamiltonian, pressure projection, compute_rhs
+# ---------------------------------------------------------------------------
+
+def fd_an_oracle(dens, v, w, geop, dz_d, dz_p, dx, dy, cst, ref):
+    """F/FW/K as the compressible fd (Hk is shared) with B from
+    Hamiltonian_AN_Hs::compute_dHsdx (anelastic.h:83-115): enthalpy at the
+    REFERENCE pressure, thermo = IdealGas_Pottemp closed forms
+    (thermo.h:70-200)."""
+    F, FW, K, _ = fd_oracle(dens, v, w, geop, dz_d, dz_p, dx, dy, cst,
+                            moist=False)
+    ndens, nens, nz, nx = dens.shape
+    B = np.zeros((2, nens, nz, nx))
+    for e in range(nens):
+        area = dx * dy * dz_d[e]
+        for k in range(nz):
+            refrho = ref["rho_pi"][e, k]
+            refs = ref["q_pi"][1, e, k]
+            refp = cst.pr * (refs * refrho * cst.Rd / cst.pr) ** cst.gamma_d
+            piref = (refp / cst.pr) ** cst.kappa_d
+            for i in range(nx):
+                sv = dens[1, e, k, i] / dens[0, e, k, i]
+                H = cst.Cpd * sv * piref
+                gex = cst.Cpd * piref
+                geop0 = geop[e, k, i] / area[k]
+                B[0, e, k, i] = geop0 + H - sv * gex + K[e, k, i] / area[k]
+                B[1, e, k, i] = gex
+    return F, FW, K, B
+
+
+def anelastic_project_oracle(v, w, dz_d, dz_p, dx, ref):
+    """AnelasticLinearSystem (extrudedmodel.h:3245-3520): solve
+    div(rho_ref grad p) = -div(rho_ref u) per x-wavenumber (numpy FFT +
+    scalar Thomas), the formally singular Neumann system pinned by fixing
+    the (m=0, kfix=nz//2) pressure; returns the velocity corrections
+    (dv, dw) = (D0 p, D0_vert p) (:3486-3503)."""
+    nens, nz, nx = v.shape
+    rho_pi, rho_di = ref["rho_pi"], ref["rho_di"]
+    kfix = nz // 2
+    dv = np.zeros_like(v)
+    dw = np.zeros_like(w)
+    for e in range(nens):
+        fH1 = dz_d[e] / dx                           # (nz,)
+        h = np.zeros(nz + 1)
+        for k in range(1, nz):
+            h[k] = rho_di[e, k] * (dx / dz_p[e][k - 1])   # rho_di * H01
+        F = v[e] * fH1[:, None] * rho_pi[e][:, None]
+        FW = np.zeros((nz + 1, nx))
+        for k in range(1, nz):
+            FW[k] = w[e, k - 1] * (dx / dz_p[e][k - 1]) * rho_di[e, k]
+        mf = (np.roll(F, -1, axis=-1) - F) + (FW[1:] - FW[:-1])
+        rhs = np.fft.fft(-mf, axis=-1)
+        rhs[kfix, 0] = 0.0
+        phat = np.zeros((nz, nx), complex)
+        for ik in range(nx):
+            th = 2.0 * np.pi * ik / nx
+            fDD = 2.0 * (np.cos(th) - 1.0)
+            tri_d = np.empty(nz)
+            tri_u = np.empty(nz)
+            tri_l = np.empty(nz)
+            for k in range(nz):
+                d_ = fH1[k] * rho_pi[e, k] * fDD
+                if k == 0:
+                    d_ += -h[k + 1]
+                elif k == nz - 1:
+                    d_ += -h[k]
+                else:
+                    d_ += -(h[k + 1] + h[k])
+                tri_d[k] = d_
+                tri_u[k] = h[k + 1]
+                tri_l[k] = h[k]
+            if ik == 0:
+                tri_d[kfix] = 1.0
+                tri_u[kfix] = 0.0
+                tri_l[kfix] = 0.0
+            phat[:, ik] = _thomas(tri_l, tri_d, tri_u, rhs[:, ik])
+        p = np.real(np.fft.ifft(phat, axis=-1))
+        dv[e] = p - np.roll(p, 1, axis=-1)           # D0: p[i]-p[i-1]
+        dw[e] = p[1:] - p[:-1]                       # D0_vert
+    return dv, dw
+
+
+def anelastic_rhs_oracle(dens, v, w, geop, dt, dz_d, dz_p, dx, dy, cst,
+                         mats, ref, dens_pos):
+    """AN compute_rhs: AN Hamiltonian fd + apply_symplectic with the AN
+    mass-recon branch + rho tendency zeroed (VS_AN
+    ndensity_dycore_prognostic=1) + the anelastic tendency projection
+    (add_pressure_perturbation, extrudedmodel.h:2496-2503)."""
+    F, FW, K, B = fd_an_oracle(dens, v, w, geop, dz_d, dz_p, dx, dy, cst,
+                               ref)
+    td, tv, tw = apply_symplectic_oracle(dens, v, w, F, FW, B, dt, dz_d,
+                                         dz_p, dx, dy, mats, ref, dens_pos,
+                                         anelastic=True)
+    td[0] = 0.0
+    dv, dw = anelastic_project_oracle(-tv, -tw, dz_d, dz_p, dx, ref)
+    return td, tv - dv, tw - dw
