@@ -211,6 +211,13 @@ def main():
         }
         if r["device"] is not None:
             rec["device_ms_per_step"] = round(r["device"], 2)
+            if (dycore or env_dycore) == "awfl":
+                # the AWFL step is one lax.while_loop over ~22 acoustic
+                # subcycles; the 'XLA Ops' timeline counts the while
+                # wrapper AND its body ops, so device > wall here
+                rec["device_note"] = ("while-wrapped subcycles double-"
+                                      "count on the XLA Ops line; wall "
+                                      "is authoritative for awfl")
         rec["compile_first_step_s"] = round(r["compile_s"], 1)
         if vs_baseline is not None:
             rec["vs_baseline"] = round(vs_baseline, 3)

@@ -168,6 +168,26 @@ def _hat(n, x):
     return jnp.maximum(0.0, 1.0 - jnp.abs(k - x[..., None]))
 
 
+# Opt-in bf16 MXU path for the large hat-weight contractions
+# (PAM_P3_TABLES_BF16=1) — measured NEUTRAL on the bench (12.28 ms
+# device either way, round 5): the contractions are bound by the
+# hat-weight operand traffic, not MXU flops, and the bf16 cast passes
+# give back what the faster dots save. Kept as the recorded experiment;
+# default OFF (it is also a precision deviation from the reference's
+# table lookups — ~3 significant digits). f64 oracle paths unaffected.
+_BF16 = os.environ.get("PAM_P3_TABLES_BF16", "0") == "1"
+
+
+def _einsum_mxu(spec, *ops):
+    """The big table contraction; bf16 operands + f32 accumulation under
+    the opt-in flag (f32 runs only — f64 stays exact)."""
+    if _BF16 and ops[-1].dtype == jnp.float32:
+        ops = tuple(o.astype(jnp.bfloat16) for o in ops)
+        return jnp.einsum(spec, *ops,
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum(spec, *ops)
+
+
 def access_ice_table(tab, dumjj, dumii, dumi, index, dum1, dum4, dum5):
     """Trilinear interpolation in (density, rime fraction, size)
     (access_lookup_table, micro_p3.F90:1508-1545). ``index`` is zero-based
@@ -177,7 +197,7 @@ def access_ice_table(tab, dumjj, dumii, dumi, index, dum1, dum4, dum5):
     wi = _hat(t.shape[2], dum1)
     wii = _hat(t.shape[1], dum4)
     wjj = _hat(t.shape[0], dum5)
-    T1 = jnp.einsum('...i,jki->...jk', wi, t)      # MXU: (P,ISIZE)x(ISIZE,20)
+    T1 = _einsum_mxu('...i,jki->...jk', wi, t)     # MXU: (P,ISIZE)x(ISIZE,20)
     T2 = jnp.einsum('...k,...jk->...j', wii, T1)
     return jnp.einsum('...j,...j->...', wjj, T2)
 
@@ -195,7 +215,7 @@ def access_ice_table_multi(tab, indices, dum1, dum4, dum5):
     wi = _hat(t.shape[2], dum1)
     wii = _hat(t.shape[1], dum4)
     wjj = _hat(t.shape[0], dum5)
-    T1 = jnp.einsum('...i,jkie->...jke', wi, t)    # (P,ISIZE)x(ISIZE,20K)
+    T1 = _einsum_mxu('...i,jkie->...jke', wi, t)   # (P,ISIZE)x(ISIZE,20K)
     T2 = jnp.einsum('...k,...jke->...je', wii, T1)
     out = jnp.einsum('...j,...je->...e', wjj, T2)
     return tuple(out[..., n] for n in range(len(indices)))
@@ -211,7 +231,7 @@ def access_collect_table(tab, dumjj, dumii, dumj, dumi, index, dum1, dum3,
     wii = _hat(t.shape[1], dum4)
     wjj = _hat(t.shape[0], dum5)
     # contract the two large axes on the MXU in one step
-    T1 = jnp.einsum('...i,...j,abij->...ab', wi, wj, t)
+    T1 = _einsum_mxu('...i,...j,abij->...ab', wi, wj, t)
     T2 = jnp.einsum('...b,...ab->...a', wii, T1)
     return jnp.einsum('...a,...a->...', wjj, T2)
 
@@ -228,7 +248,7 @@ def access_collect_table_multi(tab, indices, dum1, dum3, dum4, dum5):
     wj = _hat(t.shape[3], dum3)
     wii = _hat(t.shape[1], dum4)
     wjj = _hat(t.shape[0], dum5)
-    T1 = jnp.einsum('...i,...j,abije->...abe', wi, wj, t)
+    T1 = _einsum_mxu('...i,...j,abije->...abe', wi, wj, t)
     T2 = jnp.einsum('...b,...abe->...ae', wii, T1)
     out = jnp.einsum('...a,...ae->...e', wjj, T2)
     return tuple(out[..., n] for n in range(len(indices)))
@@ -240,7 +260,7 @@ def access_rain_table(tab, dumii, dumjj, rdumii, rdumjj):
     t = jnp.asarray(tab, rdumii.dtype)             # (300, 10)
     wi = _hat(t.shape[0], rdumii)
     wj = _hat(t.shape[1], rdumjj)
-    T1 = jnp.einsum('...i,ij->...j', wi, t)        # MXU: (P,300)x(300,10)
+    T1 = _einsum_mxu('...i,ij->...j', wi, t)       # MXU: (P,300)x(300,10)
     return jnp.einsum('...j,...j->...', wj, T1)
 
 
@@ -253,6 +273,6 @@ def access_rain_table_multi(tabs, rdumii, rdumjj):
                   axis=-1)                          # (300, 10, K)
     wi = _hat(t.shape[0], rdumii)
     wj = _hat(t.shape[1], rdumjj)
-    T1 = jnp.einsum('...i,ije->...je', wi, t)      # MXU: (P,300)x(300,10K)
+    T1 = _einsum_mxu('...i,ije->...je', wi, t)     # MXU: (P,300)x(300,10K)
     return tuple(jnp.einsum('...j,...j->...', wj, T1[..., n])
                  for n in range(t.shape[-1]))
