@@ -51,35 +51,24 @@ def log(*a):
 
 def device_ms_per_step(step, state, nsteps):
     """Traced device op time per step, ms ('XLA Ops' timeline only; the
-    'Async XLA Ops' line carries DMA spans that OVERLAP compute — same
-    methodology as tools/trace_ops.py). Returns None if tracing fails."""
+    'Async XLA Ops' line carries DMA spans that OVERLAP compute —
+    tools/trace_ops.collect_device_events is the single implementation
+    of that methodology). Returns None if tracing fails."""
     import jax
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
     try:
-        from jax.profiler import ProfileData
+        from trace_ops import collect_device_events
         tdir = tempfile.mkdtemp(prefix="pam_bench_trace_")
         jax.profiler.start_trace(tdir)
-        s = state
-        for _ in range(nsteps):
-            s = step(s)
-        jax.block_until_ready(s["temp"])
-        jax.profiler.stop_trace()
-        total_us = 0.0
-        for root, _, files in os.walk(tdir):
-            for f in files:
-                if not f.endswith(".xplane.pb"):
-                    continue
-                data = ProfileData.from_file(os.path.join(root, f))
-                for plane in data.planes:
-                    pname = plane.name.lower()
-                    if "host" in pname or not (
-                            "tpu" in pname or "device" in pname or
-                            "/gpu" in pname):
-                        continue
-                    for line in plane.lines:
-                        if line.name != "XLA Ops":
-                            continue
-                        for ev in line.events:
-                            total_us += ev.duration_ns / 1e3
+        try:
+            s = state
+            for _ in range(nsteps):
+                s = step(s)
+            jax.block_until_ready(s["temp"])
+        finally:
+            jax.profiler.stop_trace()
+        total_us = sum(d for _, d, _ in collect_device_events(tdir))
         return total_us / nsteps / 1e3 if total_us else None
     except Exception as e:
         log(f"device trace unavailable: {e}")
@@ -109,7 +98,7 @@ def main():
     nx, ny, nz = 65, 1, 50
     nens = int(os.environ.get("PAM_BENCH_NENS", "128"))
     n_crm_steps = int(os.environ.get("PAM_BENCH_STEPS", "60"))
-    reps = int(os.environ.get("PAM_BENCH_REPS", "3"))
+    reps = max(1, int(os.environ.get("PAM_BENCH_REPS", "3")))
     trace_steps = int(os.environ.get("PAM_BENCH_TRACE_STEPS", "10"))
     # PAM-C (SPAM + semi-implicit) is the reference's production MMF dycore
     # (inputs/input_pamc.yaml); PAM_BENCH_DYCORE=awfl benches PAM-A instead.
@@ -136,7 +125,7 @@ def main():
     def run_config(micro, sgs, run_nens=None, chunk=None, dycore=None,
                    steps=None):
         run_nens = run_nens or nens
-        steps = steps or n_crm_steps
+        steps = steps if steps is not None else n_crm_steps
         dycore = dycore or env_dycore
         dycore_kwargs = ({"linear_system": linsys, "si_two_point": two_point}
                          if dycore == "spam" else None)

@@ -175,13 +175,12 @@ def _hat(n, x):
 # give back what the faster dots save. Kept as the recorded experiment;
 # default OFF (it is also a precision deviation from the reference's
 # table lookups — ~3 significant digits). f64 oracle paths unaffected.
-_BF16 = os.environ.get("PAM_P3_TABLES_BF16", "0") == "1"
-
-
 def _einsum_mxu(spec, *ops):
     """The big table contraction; bf16 operands + f32 accumulation under
-    the opt-in flag (f32 runs only — f64 stays exact)."""
-    if _BF16 and ops[-1].dtype == jnp.float32:
+    the opt-in flag (f32 runs only — f64 stays exact). The env var is
+    read at trace time so setting it after import still takes effect."""
+    if os.environ.get("PAM_P3_TABLES_BF16", "0") == "1" and \
+            ops[-1].dtype == jnp.float32:
         ops = tuple(o.astype(jnp.bfloat16) for o in ops)
         return jnp.einsum(spec, *ops,
                           preferred_element_type=jnp.float32)

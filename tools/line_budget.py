@@ -61,13 +61,13 @@ def main():
     pat = re.compile(
         r"%(\S+) = .*?metadata=\{op_name=\"[^\"]*\".*?"
         r"source_file=\"([^\"]*)\" source_line=(\d+)")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for line in txt.splitlines():
         m = pat.search(line)
         if m:
             src = m.group(2)
-            base = os.path.relpath(src, start=os.path.dirname(
-                os.path.dirname(os.path.abspath(__file__)))) \
-                if src.startswith("/root/repo") else os.path.basename(src)
+            base = os.path.relpath(src, start=repo_root) \
+                if src.startswith(repo_root) else os.path.basename(src)
             hlo_meta[m.group(1)] = f"{base}:{m.group(3)}"
 
     for _ in range(20):
