@@ -348,3 +348,25 @@ def test_explicit_crm_step_p3_shoc_matches_unsharded():
     out = step(place(state))
     _compare(ref, out, keys=("temp", "water_vapor", "cloud_water", "rain",
                              "ice", "tke"))
+
+
+def test_halo_pad_multihop_wider_than_shard():
+    """h > local shard width: halo_pad fetches whole shards from
+    neighbors-of-neighbors hop by hop and trims (round-5 extension for
+    deep-halo paths). 8 shards of width 2, h=3 -> exact periodic pad."""
+    mesh = _mesh_ex(1, 8)
+    a = np.random.RandomState(7).randn(4, 16)
+
+    def body(x):
+        with comm.axis_ctx(x_axis="x"):
+            return comm.halo_pad(x, 3)
+
+    f = shard_map(body, mesh=mesh, in_specs=P(None, "x"),
+                  out_specs=P(None, "x"), axis_names={"x"})
+    out = np.asarray(jax.jit(f)(jax.device_put(
+        a, NamedSharding(mesh, P(None, "x")))))
+    blocks = out.reshape(4, 8, 8)       # per shard: [left3 | local2 | right3]
+    for b in range(8):
+        exp = np.take(a, np.arange(b * 2 - 3, b * 2 + 5), axis=-1,
+                      mode="wrap")
+        np.testing.assert_array_equal(blocks[:, b], exp)
