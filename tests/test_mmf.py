@@ -226,3 +226,26 @@ def test_crm_step_ens_microbatched_matches_full():
             np.testing.assert_allclose(np.asarray(m16[k]), want,
                                        rtol=5e-13, atol=1e-13,
                                        err_msg=("per-member", k))
+
+
+def test_standalone_mmf_yaml_end_to_end(tmp_path):
+    """The standalone driver's MMF branch end-to-end from a YAML file:
+    config parse -> setup -> MmfDriver.run (per-CRM-step dispatch, round
+    5) -> NetCDF writer + callback cadence (driver.cpp:221-272)."""
+    import yaml
+    from pam_tpu.driver import standalone
+
+    cfg = dict(sim_time=160, crm_nx=8, crm_ny=1, crm_nz=8, nens=2,
+               xlen=16000.0, ylen=64000.0, zlen=20000.0, vcoords="uniform",
+               dt_gcm=80.0, dt_crm_phys=20.0, micro="kessler",
+               dycore="spam", out_freq=80.0,
+               out_prefix=str(tmp_path / "mmf_e2e"))
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    loaded = standalone.load_config(str(p))
+    state = standalone.run_mmf(loaded, verbose=False)
+    assert state is not None
+    for k in ("temp", "uvel", "wvel", "water_vapor"):
+        assert bool(jnp.isfinite(state[k]).all()), k
+    outs = list(tmp_path.glob("mmf_e2e*"))
+    assert outs, "no output written"
