@@ -313,7 +313,23 @@ class SpamTendencies:
     # ------------------------------------------------------------------
     def fct(self, dens, densrecon, densvertrecon, F, FW, dt):
         """Zalesak FCT limiting of positive-density reconstructions
-        (ref: extrudedmodel.h:2331-2392 + operators/fct.h)."""
+        (ref: extrudedmodel.h:2331-2392 + operators/fct.h).
+
+        When the positive densities form a contiguous TAIL of the stack
+        (rows k0.. — true for every shipped variable set: [rho, Theta,
+        tracers...]), the edge-flux/Mf/ratio computation runs on that
+        tail slice only: the masked full-stack form executes the same
+        arithmetic on the non-positive rows and then discards it with a
+        broadcast select XLA cannot row-split (3/12 of the FCT bucket
+        dead on the P3 config, traced round 5). Results are bitwise
+        identical (same ops on the same rows)."""
+        pos_list = [bool(p) for p in self.varset.dens_pos]
+        k0 = next((i for i, p in enumerate(pos_list) if p), len(pos_list))
+        if all(pos_list[k0:]) and k0 > 0:
+            dr_t, dvr_t = self._fct_all_pos(dens[k0:], densrecon[k0:],
+                                            densvertrecon[k0:], F, FW, dt)
+            return (jnp.concatenate([densrecon[:k0], dr_t], axis=0),
+                    jnp.concatenate([densvertrecon[:k0], dvr_t], axis=0))
         pos = jnp.asarray(self.varset.dens_pos)[:, None, None, None]
         edgeflux = densrecon * F[None]
         vertedgeflux = densvertrecon * FW[None]
@@ -335,6 +351,26 @@ class SpamTendencies:
         densvertrecon = jnp.where(pos, densvertrecon * phi_z_full,
                                   densvertrecon)
         return densrecon, densvertrecon
+
+    def _fct_all_pos(self, dens, densrecon, densvertrecon, F, FW, dt):
+        """fct() body for a stack whose rows are ALL positive-limited
+        (the where(pos, x*phi, x) select reduces to x*phi)."""
+        edgeflux = densrecon * F[None]
+        vertedgeflux = densvertrecon * FW[None]
+        eps = 1.0e-8
+        out_x = jnp.maximum(rollm(edgeflux, 1), 0.0) - \
+            jnp.minimum(edgeflux, 0.0)
+        out_z = jnp.maximum(vertedgeflux[..., 1:, :], 0.0) - \
+            jnp.minimum(vertedgeflux[..., :-1, :], 0.0)
+        Mf = (out_x + out_z) * dt + eps
+        ratio = jnp.minimum(1.0, dens / Mf)
+        phi_x_ = jnp.where(edgeflux > 0, rollm(ratio, -1), ratio)
+        densrecon = densrecon * phi_x_
+        vf = vertedgeflux[..., 1:-1, :]
+        phi_z = jnp.where(vf > 0, ratio[..., :-1, :], ratio[..., 1:, :])
+        ones = jnp.ones_like(densvertrecon[..., :1, :])
+        phi_z_full = jnp.concatenate([ones, phi_z, ones], axis=AXZ)
+        return densrecon, densvertrecon * phi_z_full
 
     # ------------------------------------------------------------------
     def tendencies_final(self, densrecon, densvertrecon, qhzrecon,
