@@ -433,9 +433,24 @@ class Tendencies3D:
     # ------------------------------------------------------------------
     def fct(self, dens, densrecon, densvertrecon, F, FW, dt):
         """Zalesak FCT limiting of positive densities, 3-D fluxes
-        (extrudedmodel.h:2331-2392 + operators/fct.h, ndims=2)."""
-        pos = jnp.asarray(self.varset.dens_pos)[:, None, None, None, None]
+        (extrudedmodel.h:2331-2392 + operators/fct.h, ndims=2).
+
+        As in the slab model (tendencies.fct): when the positive
+        densities form a contiguous tail of the stack, the flux/Mf/ratio
+        computation runs on that tail slice only — the masked full-stack
+        form executes (then discards) the same arithmetic on the
+        non-positive rows."""
+        pos_list = [bool(p) for p in self.varset.dens_pos]
+        k0 = next((i for i, p in enumerate(pos_list) if p), len(pos_list))
         densrecon0, densrecon1 = densrecon
+        if all(pos_list[k0:]) and k0 > 0:
+            (dr0, dr1), dvr = self._fct_all_pos(
+                dens[k0:], (densrecon0[k0:], densrecon1[k0:]),
+                densvertrecon[k0:], F, FW, dt)
+            return ((jnp.concatenate([densrecon0[:k0], dr0], axis=0),
+                     jnp.concatenate([densrecon1[:k0], dr1], axis=0)),
+                    jnp.concatenate([densvertrecon[:k0], dvr], axis=0))
+        pos = jnp.asarray(self.varset.dens_pos)[:, None, None, None, None]
         ef0 = densrecon0 * F[0][None]
         ef1 = densrecon1 * F[1][None]
         vef = densvertrecon * FW[None]
@@ -457,6 +472,29 @@ class Tendencies3D:
         densvertrecon = jnp.where(pos, densvertrecon * phi_z_full,
                                   densvertrecon)
         return (densrecon0, densrecon1), densvertrecon
+
+    def _fct_all_pos(self, dens, densrecon, densvertrecon, F, FW, dt):
+        """fct() body for an all-positive stack (the pos select reduces
+        to the plain limiter multiply)."""
+        densrecon0, densrecon1 = densrecon
+        ef0 = densrecon0 * F[0][None]
+        ef1 = densrecon1 * F[1][None]
+        vef = densvertrecon * FW[None]
+        eps = 1.0e-8
+        out_x = jnp.maximum(rx(ef0, 1), 0.0) - jnp.minimum(ef0, 0.0)
+        out_y = jnp.maximum(ry(ef1, 1), 0.0) - jnp.minimum(ef1, 0.0)
+        out_z = jnp.maximum(vef[..., 1:, :, :], 0.0) - \
+            jnp.minimum(vef[..., :-1, :, :], 0.0)
+        Mf = (out_x + out_y + out_z) * dt + eps
+        ratio = jnp.minimum(1.0, dens / Mf)
+        phi_x = jnp.where(ef0 > 0, rx(ratio, -1), ratio)
+        phi_y = jnp.where(ef1 > 0, ry(ratio, -1), ratio)
+        vf = vef[..., 1:-1, :, :]
+        phi_z = jnp.where(vf > 0, ratio[..., :-1, :, :], ratio[..., 1:, :, :])
+        ones = jnp.ones_like(densvertrecon[..., :1, :, :])
+        phi_z_full = jnp.concatenate([ones, phi_z, ones], axis=AXZ)
+        return ((densrecon0 * phi_x, densrecon1 * phi_y),
+                densvertrecon * phi_z_full)
 
     # ------------------------------------------------------------------
     def _Qxz_w(self, qr, qvr, F0, sgn):
