@@ -8,8 +8,11 @@ Five rows are measured by default (VERDICT r4 item 2 — the drift-proof
 artifact of record):
   1. production physics stack micro=p3, sgs=shoc, nens=128 (the reference
      CI config, inputs/ci/input_pamc.yaml);
-  2. p3+shoc at nens=512 through the auto micro-batched path;
-  3. kessler at nens=512 through the auto micro-batched path;
+  2. p3+shoc at nens=512 through HOST-dispatched ensemble micro-batching
+     (the round-5 production path: faster than the in-jit barrier chain
+     and compile-bounded at the single-chunk cost — driver/mmf.py
+     crm_phys_step_hostchunked, measured in tools/mb_host_bench.py);
+  3. kessler at nens=512, same path;
   4. the PAM-A (AWFL) dycore on the kessler config;
   5. the Kessler config benched since round 1 — emitted LAST (the line of
      record; comparable with BENCH_BASELINE.json across rounds).
@@ -49,7 +52,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def device_ms_per_step(step, state, nsteps):
+def device_ms_per_step(step, state, nsteps, sync):
     """Traced device op time per step, ms ('XLA Ops' timeline only; the
     'Async XLA Ops' line carries DMA spans that OVERLAP compute —
     tools/trace_ops.collect_device_events is the single implementation
@@ -65,7 +68,7 @@ def device_ms_per_step(step, state, nsteps):
             s = state
             for _ in range(nsteps):
                 s = step(s)
-            jax.block_until_ready(s["temp"])
+            sync(s)
         finally:
             jax.profiler.stop_trace()
         total_us = sum(d for _, d, _ in collect_device_events(tdir))
@@ -137,27 +140,55 @@ def main():
             dycore_kwargs=dycore_kwargs,
             micro_kwargs=micro_kwargs if micro == "kessler" else None)
         if drv_nens != run_nens:
-            # chunk-sized driver + full-ensemble state; crm_phys_step
-            # auto-routes through the micro-batched path (driver/mmf.py)
+            # chunk-sized driver + full-ensemble state, HOST-dispatched
+            # micro-batching (round 5: measured faster than the in-jit
+            # barrier chain — 45.9 vs 46.9 ms/step at P3+SHOC nens=512,
+            # bitwise identical — and compile stays at the single-chunk
+            # cost; MmfDriver.crm_phys_step_hostchunked /
+            # tools/mb_host_bench.py). The state is split ONCE here and
+            # rejoined after timing, as MmfDriver.run does.
+            from pam_tpu.driver.mmf import _split_ens, _join_ens
             _, state = setup_supercell_mmf(
                 nx=nx, ny=ny, nz=nz, nens=run_nens, xlen=128000.0,
                 ylen=64000.0, zlen=20000.0, micro=micro, sgs=sgs,
                 dt_gcm=900.0, dt_crm_phys=20.0, dycore=dycore,
                 dtype=jnp.float32, dycore_kwargs=dycore_kwargs)
-        state = gcm_forcing.compute_gcm_forcing_tendencies(
-            drv.coupler, state, drv.dt_gcm)
+            state = gcm_forcing.compute_gcm_forcing_tendencies(
+                drv.coupler, state, drv.dt_gcm)
+            inner = drv._jitted_single()
+            n_chunks = run_nens // drv_nens
 
-        step = jax.jit(drv.crm_phys_step)
+            def step(cs):
+                return tuple(inner(c) for c in cs)
+
+            def sync(cs):
+                jax.block_until_ready(cs[-1]["temp"])
+
+            def to_array(cs):
+                return np.asarray(_join_ens(cs)["temp"])
+
+            state = _split_ens(state, n_chunks)
+        else:
+            state = gcm_forcing.compute_gcm_forcing_tendencies(
+                drv.coupler, state, drv.dt_gcm)
+            step = jax.jit(drv.crm_phys_step)
+
+            def sync(s):
+                jax.block_until_ready(s["temp"])
+
+            def to_array(s):
+                return np.asarray(s["temp"])
+
         t0 = time.time()
         state = step(state)
-        jax.block_until_ready(state["temp"])
+        sync(state)
         compile_s = time.time() - t0
         log(f"[micro={micro} sgs={sgs} dycore={dycore}] compile+first "
             f"step: {compile_s:.1f}s")
 
         for _ in range(3):  # warmup
             state = step(state)
-        jax.block_until_ready(state["temp"])
+        sync(state)
 
         # repeat timed reps in ONE session: best is the drift-proof
         # statistic, median is the honesty check
@@ -167,14 +198,14 @@ def main():
             t0 = time.time()
             for _ in range(steps):
                 s = step(s)
-            jax.block_until_ready(s["temp"])
+            sync(s)
             ms_reps.append((time.time() - t0) / steps * 1e3)
 
-        if not bool(np.isfinite(np.asarray(s["temp"])).all()):
+        if not bool(np.isfinite(to_array(s)).all()):
             log("ERROR: non-finite state after benchmark run")
             sys.exit(1)
 
-        dev_ms = device_ms_per_step(step, s, trace_steps)
+        dev_ms = device_ms_per_step(step, s, trace_steps, sync)
 
         gridpoints = nx * ny * nz * run_nens
         best = min(ms_reps)

@@ -10,6 +10,7 @@ host-coupling boundary in real MMF use).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable
 
@@ -49,6 +50,24 @@ def pick_ens_chunk(nx: int, ny: int, nz: int, dtype=jnp.float32,
     return max(chunk, 1)
 
 
+@functools.partial(jax.jit, static_argnums=1)
+def _split_ens(state, n_chunks):
+    """Split every state leaf into n_chunks along the ensemble axis —
+    ONE dispatch (returns a tuple of chunk states)."""
+    def leaf(a):
+        c = a.shape[0] // n_chunks
+        return tuple(a[i * c:(i + 1) * c] for i in range(n_chunks))
+    per_leaf = {k: leaf(v) for k, v in state.items()}
+    return tuple({k: v[i] for k, v in per_leaf.items()}
+                 for i in range(n_chunks))
+
+
+@jax.jit
+def _join_ens(chunks):
+    """Concatenate chunk states back to the full ensemble — ONE dispatch."""
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+
+
 @dataclasses.dataclass(eq=False)
 class MmfDriver:
     """Composes dycore + physics into jitted GCM/CRM step functions."""
@@ -61,6 +80,17 @@ class MmfDriver:
     apply_gcm_forcing: bool = True
     dt_gcm: float = 900.0
     dt_crm_phys: float = 20.0
+    # large-ensemble micro-batch routing for :meth:`run`:
+    #   "host"     — dispatch the single-chunk jit per chunk, state kept
+    #                chunked across the GCM loop. Compile stays at the
+    #                single-chunk cost AND steps measure FASTER than the
+    #                in-jit chain (TPU v5e, P3+SHOC nens=512: 45.9 vs
+    #                46.9 ms/step, compile 58 vs 208 s; nens=1024: 91.7
+    #                vs 98.2 ms, 17 vs 308 s; Kessler 512: 12.9 vs 13.1;
+    #                results bitwise identical — PERF.md round 5);
+    #   "unrolled" — one jit over barrier-chained chunks (single-dispatch
+    #                per step, for host-sync-constrained embeddings).
+    mb_mode: str = "host"
 
     def crm_phys_step(self, state):
         """One CRM physics step (jit this).
@@ -188,6 +218,47 @@ class MmfDriver:
         out = jax.lax.map(self._crm_phys_step_single, chunked)
         return jax.tree.map(join, out)
 
+    def _jitted_single(self):
+        """The singly-compiled chunk-step executable (cached)."""
+        if self.__dict__.get("_jit_single_cache") is None:
+            self._jit_single_cache = jax.jit(self._crm_phys_step_single)
+        return self._jit_single_cache
+
+    def crm_phys_step_hostchunked(self, state):
+        """Ensemble micro-batching by HOST dispatch: the single-chunk jit
+        is dispatched once per chunk instead of unrolling all chunks into
+        one program (:meth:`crm_phys_step_microbatched`).
+
+        Do NOT wrap this in ``jax.jit`` — the chunk loop must stay on the
+        host. The device executes the queued chunk programs in dispatch
+        order, which gives the same VMEM-residency serialization the
+        unrolled path needs an ``optimization_barrier`` chain for, while
+        compile time stays at the SINGLE-chunk cost regardless of
+        n_chunks. Measured (TPU v5e, tools/mb_host_bench.py, round 5):
+        P3+SHOC nens=512 45.9 ms/step vs 46.9 unrolled (compile 58 vs
+        208 s), nens=1024 91.7 vs 98.2 (17 vs 308 s), Kessler 512 12.9
+        vs 13.1 (24 vs 92 s) — host dispatch is FASTER (async dispatch
+        pipelines the next chunk's parameter loads) and bitwise
+        identical (both paths run the same chunk program over the same
+        chunk slices). The costs are one split + one join dispatch (two
+        extra full-state copies/step) and host dispatch rate (~0.4
+        ms/call through the axon tunnel, hidden by the device queue).
+        :meth:`run` keeps the state chunked across the whole GCM loop,
+        paying the split/join only once per run."""
+        total = int(state["temp"].shape[0])
+        built = int(self.coupler.nens)
+        if total % built != 0:
+            raise ValueError(
+                f"state carries nens={total} but the driver was built "
+                f"with nens={built}; micro-batching needs an exact "
+                f"multiple")
+        n_chunks = total // built
+        step = self._jitted_single()
+        if n_chunks == 1:
+            return step(state)
+        chunks = _split_ens(state, n_chunks)
+        return _join_ens(tuple(step(c) for c in chunks))
+
     def run(self, state, sim_time: float, callback: Callable = None):
         """Python-level GCM loop (ref: driver.cpp:237-272).
 
@@ -202,6 +273,25 @@ class MmfDriver:
         ncrm = int(round(self.dt_gcm / self.dt_crm_phys))
         forcing = jax.jit(lambda s: gcm_forcing.compute_gcm_forcing_tendencies(
             self.coupler, s, self.dt_gcm)) if self.apply_gcm_forcing else None
+        total = int(state["temp"].shape[0])
+        n_chunks = total // int(self.coupler.nens)
+        if self.mb_mode == "host" and n_chunks > 1:
+            # host-dispatched micro-batching: split ONCE, run the whole
+            # GCM loop chunk-wise (forcing is per-member, so it chunks
+            # too), join ONCE at the end / for callbacks. Compile cost is
+            # the single-chunk program regardless of n_chunks.
+            step = self._jitted_single()
+            chunks = list(_split_ens(state, n_chunks))
+            etime = 0.0
+            for n in range(nsteps_gcm):
+                if forcing is not None:
+                    chunks = [forcing(c) for c in chunks]
+                for _ in range(ncrm):
+                    chunks = [step(c) for c in chunks]
+                etime += self.dt_gcm
+                if callback is not None:
+                    callback(_join_ens(tuple(chunks)), etime)
+            return _join_ens(tuple(chunks))
         step = jax.jit(self.crm_phys_step)
         etime = 0.0
         for n in range(nsteps_gcm):

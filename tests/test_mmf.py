@@ -207,12 +207,33 @@ def test_crm_step_ens_microbatched_matches_full():
             np.testing.assert_array_equal(np.asarray(out[k]),
                                           np.asarray(auto[k]),
                                           err_msg=("auto", micro, k))
+        # the HOST-dispatched route (round 5): same chunk program
+        # dispatched per chunk from the host — must equal the in-jit
+        # unrolled micro-batch bitwise (identical chunk slices through
+        # the identical single-chunk program)
+        host = drv_chunk.crm_phys_step_hostchunked(state)
+        for k in ("temp", "water_vapor", "uvel", "wvel", "density_dry"):
+            np.testing.assert_array_equal(np.asarray(host[k]),
+                                          np.asarray(auto[k]),
+                                          err_msg=("host", micro, k))
+        # run() with mb_mode="host" keeps the state chunked across the
+        # GCM loop; one GCM step must match the unrolled driver's run()
+        import dataclasses as _dc
+        r_ref = _dc.replace(drv_chunk, mb_mode="unrolled").run(state, 80.0)
+        r_host = drv_chunk.run(state, 80.0)  # default mb_mode="host"
+        for k in ("temp", "water_vapor", "uvel"):
+            np.testing.assert_allclose(np.asarray(r_ref[k]),
+                                       np.asarray(r_host[k]), rtol=5e-13,
+                                       atol=1e-13,
+                                       err_msg=("run-host", micro, k))
         # non-multiple ensembles must fail loudly, not reshape-garble
         import pytest as _pytest
         bad = {k: (v[:3] if hasattr(v, "shape") and v.ndim and
                    v.shape[0] == 4 else v) for k, v in state.items()}
         with _pytest.raises(ValueError, match="micro-batching"):
             drv_chunk.crm_phys_step(bad)
+        with _pytest.raises(ValueError, match="micro-batching"):
+            drv_chunk.crm_phys_step_hostchunked(bad)
         # chunk-of-1 micro-batching must equal an explicit per-member
         # loop (ground truth for the chunk split/concat bookkeeping)
         drv_one, _ = setup_supercell_mmf(nens=1, **kw)
