@@ -5,7 +5,9 @@ Parity reference: standalone/mmf_simplified/driver.cpp — config keys
 (sim_time, crm_nx/ny/nz, nens, xlen/ylen/zlen, vcoords, dt_gcm,
 dt_crm_phys, out_freq, out_prefix, idealized, init_data, ...) are the same
 names the reference YAML inputs use (inputs/input_pamc.yaml,
-inputs/pamc_idealized/*.yaml).
+inputs/pamc_idealized/*.yaml). TPU extension: ``ens_chunk: <int|auto>``
+runs ensembles larger than the VMEM-resident chunk as host-dispatched
+micro-batches (PERF.md round 5).
 
 Run:  python -m pam_tpu.driver.standalone <config.yaml>
 """
@@ -52,9 +54,10 @@ def run_mmf(cfg: dict, verbose: bool = True):
 
     zint = build_zint(cfg)
     nz = len(zint) - 1
-    drv, state = setup_supercell_mmf(
+    nens = cfg.get("nens", 1)
+    kw = dict(
         nx=cfg["crm_nx"], ny=cfg.get("crm_ny", 1), nz=nz,
-        nens=cfg.get("nens", 1), xlen=cfg["xlen"],
+        xlen=cfg["xlen"],
         ylen=cfg.get("ylen", 64000.0),
         zlen=float(zint[-1]),
         micro=cfg.get("micro", "kessler"),
@@ -65,6 +68,24 @@ def run_mmf(cfg: dict, verbose: bool = True):
         crm_per_phys=cfg.get("crm_per_phys", 1),
         zint=zint,
         dtype=jnp.float64 if cfg.get("f64", True) else jnp.float32)
+    # ens_chunk: run large ensembles as VMEM-resident micro-batches —
+    # the driver is built at the chunk size and MmfDriver.run routes
+    # through host-dispatched chunk stepping (driver/mmf.py; compile
+    # stays at the single-chunk cost). "auto" calls pick_ens_chunk.
+    chunk = cfg.get("ens_chunk")
+    if chunk:
+        from .mmf import pick_ens_chunk
+        if chunk == "auto":
+            chunk = pick_ens_chunk(kw["nx"], kw["ny"], nz, kw["dtype"],
+                                   nens)
+        chunk = int(chunk)
+        if nens % chunk != 0:
+            raise ValueError(f"ens_chunk={chunk} must divide nens={nens}")
+    if chunk and chunk < nens:
+        drv, _ = setup_supercell_mmf(nens=chunk, **kw)
+        _, state = setup_supercell_mmf(nens=nens, **kw)
+    else:
+        drv, state = setup_supercell_mmf(nens=nens, **kw)
     out_freq = cfg.get("out_freq", -1.0)
     writer = None
     if out_freq >= 0:

@@ -270,3 +270,16 @@ def test_standalone_mmf_yaml_end_to_end(tmp_path):
         assert bool(jnp.isfinite(state[k]).all()), k
     outs = list(tmp_path.glob("mmf_e2e*"))
     assert outs, "no output written"
+    # ens_chunk (round 5): nens=4 run as two host-dispatched chunks must
+    # match the plain nens=4 run (kessler rainsplit min becomes
+    # per-chunk; qr=0 here so it is exact up to fusion reassociation)
+    cfg4 = dict(cfg, nens=4, out_freq=-1.0)
+    ref4 = standalone.run_mmf(cfg4, verbose=False)
+    out4 = standalone.run_mmf(dict(cfg4, ens_chunk=2), verbose=False)
+    for k in ("temp", "uvel", "water_vapor"):
+        np.testing.assert_allclose(np.asarray(ref4[k]),
+                                   np.asarray(out4[k]), rtol=5e-13,
+                                   atol=1e-13, err_msg=("ens_chunk", k))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ens_chunk"):
+        standalone.run_mmf(dict(cfg4, ens_chunk=3), verbose=False)
