@@ -142,7 +142,7 @@ def main():
         if drv_nens != run_nens:
             # chunk-sized driver + full-ensemble state, HOST-dispatched
             # micro-batching (round 5: measured faster than the in-jit
-            # barrier chain — 45.9 vs 46.9 ms/step at P3+SHOC nens=512,
+            # barrier chain — 46.4 vs 47.0 ms/step at P3+SHOC nens=512,
             # bitwise identical — and compile stays at the single-chunk
             # cost; MmfDriver.crm_phys_step_hostchunked /
             # tools/mb_host_bench.py). The state is split ONCE here and
@@ -152,7 +152,8 @@ def main():
                 nx=nx, ny=ny, nz=nz, nens=run_nens, xlen=128000.0,
                 ylen=64000.0, zlen=20000.0, micro=micro, sgs=sgs,
                 dt_gcm=900.0, dt_crm_phys=20.0, dycore=dycore,
-                dtype=jnp.float32, dycore_kwargs=dycore_kwargs)
+                dtype=jnp.float32, dycore_kwargs=dycore_kwargs,
+                state_only=True)
             state = gcm_forcing.compute_gcm_forcing_tendencies(
                 drv.coupler, state, drv.dt_gcm)
             inner = drv._jitted_single()

@@ -84,10 +84,10 @@ class MmfDriver:
     #   "host"     — dispatch the single-chunk jit per chunk, state kept
     #                chunked across the GCM loop. Compile stays at the
     #                single-chunk cost AND steps measure FASTER than the
-    #                in-jit chain (TPU v5e, P3+SHOC nens=512: 45.9 vs
-    #                46.9 ms/step, compile 58 vs 208 s; nens=1024: 91.7
-    #                vs 98.2 ms, 17 vs 308 s; Kessler 512: 12.9 vs 13.1;
-    #                results bitwise identical — PERF.md round 5);
+    #                in-jit chain (TPU v5e, P3+SHOC nens=512: 46.4 vs
+    #                47.0 ms/step, compile 58 vs 208 s; nens=1024: 92.3
+    #                vs 98.2 ms vs 308 s compile; Kessler 512: 13.0 vs
+    #                13.1; results bitwise identical — PERF.md round 5);
     #   "unrolled" — one jit over barrier-chained chunks (single-dispatch
     #                per step, for host-sync-constrained embeddings).
     mb_mode: str = "host"
@@ -235,9 +235,9 @@ class MmfDriver:
         unrolled path needs an ``optimization_barrier`` chain for, while
         compile time stays at the SINGLE-chunk cost regardless of
         n_chunks. Measured (TPU v5e, tools/mb_host_bench.py, round 5):
-        P3+SHOC nens=512 45.9 ms/step vs 46.9 unrolled (compile 58 vs
-        208 s), nens=1024 91.7 vs 98.2 (17 vs 308 s), Kessler 512 12.9
-        vs 13.1 (24 vs 92 s) — host dispatch is FASTER (async dispatch
+        P3+SHOC nens=512 46.4 ms/step vs 47.0 unrolled (compile 58 vs
+        208 s), nens=1024 92.3 vs 98.2 (vs 308 s compile), Kessler 512
+        13.0 vs 13.1 — host dispatch is FASTER (async dispatch
         pipelines the next chunk's parameter loads) and bitwise
         identical (both paths run the same chunk program over the same
         chunk slices). The costs are one split + one join dispatch (two
@@ -274,7 +274,17 @@ class MmfDriver:
         forcing = jax.jit(lambda s: gcm_forcing.compute_gcm_forcing_tendencies(
             self.coupler, s, self.dt_gcm)) if self.apply_gcm_forcing else None
         total = int(state["temp"].shape[0])
-        n_chunks = total // int(self.coupler.nens)
+        built = int(self.coupler.nens)
+        if total % built != 0:
+            # same guard as crm_phys_step / crm_phys_step_hostchunked —
+            # without it the host split below would silently TRUNCATE a
+            # non-multiple ensemble (5 members / built 2 -> 2 chunks of
+            # 2, member 4 dropped)
+            raise ValueError(
+                f"state carries nens={total} but the driver was built "
+                f"with nens={built}; micro-batching needs an exact "
+                f"multiple")
+        n_chunks = total // built
         if self.mb_mode == "host" and n_chunks > 1:
             # host-dispatched micro-batching: split ONCE, run the whole
             # GCM loop chunk-wise (forcing is per-member, so it chunks
@@ -310,12 +320,20 @@ def setup_supercell_mmf(nx=65, ny=1, nz=50, nens=1, xlen=128000.0,
                         micro="kessler", sgs="none", dt_gcm=900.0,
                         dt_crm_phys=20.0, perturb_seeds=None,
                         dycore="awfl", crm_per_phys=1,
-                        zint=None, dycore_kwargs=None, micro_kwargs=None):
+                        zint=None, dycore_kwargs=None, micro_kwargs=None,
+                        state_only=False):
     """Build the full MMF configuration mirroring inputs/input_pamc.yaml
     (65x1x50 cells, 128 km x 64 km, 20 km top) with supercell column init.
     dycore="awfl" (PAM-A) or "spam" (PAM-C: MCE_rho + semi-implicit with
     dt_si = dt_crm_phys/crm_per_phys, the reference coupled defaults,
-    core/params.h:120-165). Returns (driver, state)."""
+    core/params.h:120-165). Returns (driver, state).
+
+    ``state_only=True`` skips the expensive module construction that does
+    not contribute to the initial state (the SPAM semi-implicit
+    linear-system build) and returns ``(None, state)`` — the state is
+    identical to the full setup's. Used by the micro-batching callers
+    (standalone ens_chunk, bench large-nens rows) that build the DRIVER
+    at chunk size and only need the full-ensemble STATE here."""
     cpl = Coupler(nz=nz, ny=ny, nx=nx, nens=nens, xlen=xlen, ylen=ylen,
                   dtype=dtype)
     if micro == "kessler":
@@ -346,13 +364,18 @@ def setup_supercell_mmf(nx=65, ny=1, nz=50, nens=1, xlen=128000.0,
     state = perturb_temperature(cpl, state, np.asarray(seeds))
 
     if dycore == "awfl":
+        # built even under state_only: the hydrostatic declaration is
+        # part of the initial state (cheap — recon matrices only)
         dyc = AwflDycore.build(cpl, np.diff(zint), **(dycore_kwargs or {}))
         state = dyc.declare_current_profile_as_hydrostatic(state)
     elif dycore == "spam":
-        from ..spam.dycore import SpamDycore
-        dyc = SpamDycore.build_coupled(cpl, state, zint,
-                                       dt_si=dt_crm_phys / crm_per_phys,
-                                       **(dycore_kwargs or {}))
+        if state_only:
+            dyc = None  # build_coupled does not touch the state
+        else:
+            from ..spam.dycore import SpamDycore
+            dyc = SpamDycore.build_coupled(cpl, state, zint,
+                                           dt_si=dt_crm_phys / crm_per_phys,
+                                           **(dycore_kwargs or {}))
     else:
         raise ValueError(f"unknown dycore {dycore!r}")
 
@@ -377,6 +400,8 @@ def setup_supercell_mmf(nx=65, ny=1, nz=50, nens=1, xlen=128000.0,
         pref = np.asarray(state["hy_pressure_cells"])[0, ::-1]
         sgs_obj = shoc_mod.ShocSgs.build(cpl, pref_mid=pref)
 
+    if state_only:
+        return None, state
     drv = MmfDriver(coupler=cpl, dycore=dyc, micro=micro_obj, sgs=sgs_obj,
                     dt_gcm=dt_gcm, dt_crm_phys=dt_crm_phys)
     return drv, state

@@ -83,13 +83,19 @@ def run_mmf(cfg: dict, verbose: bool = True):
             raise ValueError(f"ens_chunk={chunk} must divide nens={nens}")
     if chunk and chunk < nens:
         drv, _ = setup_supercell_mmf(nens=chunk, **kw)
-        _, state = setup_supercell_mmf(nens=nens, **kw)
+        # full-ENSEMBLE state without the full-ensemble module builds
+        # (state_only skips the SPAM SI linear-system construction)
+        _, state = setup_supercell_mmf(nens=nens, state_only=True, **kw)
+        # the writer describes the FULL ensemble, not the chunk driver
+        import dataclasses
+        writer_cpl = dataclasses.replace(drv.coupler, nens=nens)
     else:
         drv, state = setup_supercell_mmf(nens=nens, **kw)
+        writer_cpl = drv.coupler
     out_freq = cfg.get("out_freq", -1.0)
     writer = None
     if out_freq >= 0:
-        writer = make_writer(drv.coupler, state,
+        writer = make_writer(writer_cpl, state,
                              cfg.get("out_prefix", "out"),
                              cfg.get("io_backend", "netcdf"))
         writer.write(state, 0.0)

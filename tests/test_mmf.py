@@ -275,7 +275,16 @@ def test_standalone_mmf_yaml_end_to_end(tmp_path):
     # per-chunk; qr=0 here so it is exact up to fusion reassociation)
     cfg4 = dict(cfg, nens=4, out_freq=-1.0)
     ref4 = standalone.run_mmf(cfg4, verbose=False)
-    out4 = standalone.run_mmf(dict(cfg4, ens_chunk=2), verbose=False)
+    # with output ON: the writer must carry the FULL ensemble dimension,
+    # not the chunk driver's (code-review finding, round 5)
+    out4 = standalone.run_mmf(
+        dict(cfg4, ens_chunk=2, out_freq=80.0,
+             out_prefix=str(tmp_path / "mmf_chunked")), verbose=False)
+    chunked_outs = list(tmp_path.glob("mmf_chunked*"))
+    assert chunked_outs, "no output written in ens_chunk mode"
+    from scipy.io import netcdf_file
+    with netcdf_file(str(chunked_outs[0]), "r") as f:
+        assert f.dimensions["nens"] == 4
     for k in ("temp", "uvel", "water_vapor"):
         np.testing.assert_allclose(np.asarray(ref4[k]),
                                    np.asarray(out4[k]), rtol=5e-13,

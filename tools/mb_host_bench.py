@@ -50,20 +50,24 @@ def main():
     pts = nx * ny * nz * nens
 
     def timeit(label, first, stepper, s0):
+        # sync on the WHOLE pytree: for the host path, blocking on only
+        # the first chunk's leaf would stop the timer with the remaining
+        # chunks of the final step still on the queue (~0.75 chunk-step
+        # per rep of bias — code-review finding, round 5)
         t0 = time.time()
         s = first(s0)
-        jax.block_until_ready(jax.tree.leaves(s)[0])
+        jax.block_until_ready(s)
         print(f"[{label}] compile+first step: {time.time() - t0:.1f}s",
               flush=True)
         for _ in range(3):
             s = stepper(s)
-        jax.block_until_ready(jax.tree.leaves(s)[0])
+        jax.block_until_ready(s)
         ms = []
         for _ in range(reps):
             t0 = time.time()
             for _ in range(nsteps):
                 s = stepper(s)
-            jax.block_until_ready(jax.tree.leaves(s)[0])
+            jax.block_until_ready(s)
             ms.append((time.time() - t0) / nsteps * 1e3)
         best, med = min(ms), statistics.median(ms)
         print(f"[{label}] reps={['%.2f' % m for m in ms]} best={best:.2f} "
