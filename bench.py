@@ -4,7 +4,7 @@ Runs the flagship MMF configuration (65x1x50 cells per CRM — the reference's
 production config, inputs/input_pamc.yaml — batched over an ensemble sized to
 fill the chip) and reports CRM-physics-step throughput.
 
-Five rows are measured by default (VERDICT r4 item 2 — the drift-proof
+Six rows are measured by default (VERDICT r4 item 2 — the drift-proof
 artifact of record):
   1. production physics stack micro=p3, sgs=shoc, nens=128 (the reference
      CI config, inputs/ci/input_pamc.yaml);
@@ -12,9 +12,10 @@ artifact of record):
      (the round-5 production path: faster than the in-jit barrier chain
      and compile-bounded at the single-chunk cost — driver/mmf.py
      crm_phys_step_hostchunked, measured in tools/mb_host_bench.py);
-  3. kessler at nens=512, same path;
-  4. the PAM-A (AWFL) dycore on the kessler config;
-  5. the Kessler config benched since round 1 — emitted LAST (the line of
+  3. p3+shoc at nens=1024, same path (PAM_BENCH_NENS_BIG2=0 skips);
+  4. kessler at nens=512, same path;
+  5. the PAM-A (AWFL) dycore on the kessler config;
+  6. the Kessler config benched since round 1 — emitted LAST (the line of
      record; comparable with BENCH_BASELINE.json across rounds).
 Each is ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -60,6 +61,7 @@ def device_ms_per_step(step, state, nsteps, sync):
     import jax
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tools"))
+    tdir = None
     try:
         from trace_ops import collect_device_events
         tdir = tempfile.mkdtemp(prefix="pam_bench_trace_")
@@ -76,6 +78,10 @@ def device_ms_per_step(step, state, nsteps, sync):
     except Exception as e:
         log(f"device trace unavailable: {e}")
         return None
+    finally:
+        if tdir is not None:
+            import shutil
+            shutil.rmtree(tdir, ignore_errors=True)
 
 
 def main():
@@ -257,13 +263,17 @@ def main():
                 pass
         return 1.0
 
-    if "PAM_BENCH_MICRO" in os.environ or "PAM_BENCH_SGS" in os.environ:
-        # explicit single-config run
+    if any(k in os.environ for k in ("PAM_BENCH_MICRO", "PAM_BENCH_SGS",
+                                     "PAM_BENCH_DYCORE")):
+        # explicit single-config run (any of the three selectors; the
+        # baseline ratio only applies to the exact line-of-record
+        # config: kessler/none on the SPAM dycore)
         micro = os.environ.get("PAM_BENCH_MICRO", "kessler")
         sgs = os.environ.get("PAM_BENCH_SGS", "none")
         r = run_config(micro, sgs)
         emit(r, micro, sgs, baseline_ratio(r["value"])
-             if (micro, sgs) == ("kessler", "none") else None)
+             if (micro, sgs, env_dycore) == ("kessler", "none", "spam")
+             else None)
         return
 
     # default: production physics first, then the line of record (LAST —
@@ -277,6 +287,13 @@ def main():
     ck = pick_ens_chunk(nx, ny, nz, jnp.float32, big)
     r_p3b = run_config("p3", "shoc", run_nens=big, chunk=ck)
     r_kb = run_config("kessler", "none", run_nens=big, chunk=ck)
+    # nens=1024: feasible as a row of record since round 5's
+    # host-dispatched micro-batching bounds compile at the single-chunk
+    # cost (the in-jit chain needed 308 s; PERF.md)
+    big2 = int(os.environ.get("PAM_BENCH_NENS_BIG2", "1024"))
+    r_p3c = (run_config("p3", "shoc", run_nens=big2,
+                        chunk=pick_ens_chunk(nx, ny, nz, jnp.float32, big2))
+             if big2 else None)
     # PAM-A (AWFL) as a first-class row (VERDICT r4 item 2): ~130 ms/step
     # (66 acoustic tendency evaluations — algorithmic, PERF.md), so fewer
     # steps per rep
@@ -285,6 +302,9 @@ def main():
     r_k = run_config("kessler", "none")
     emit(r_p3, "p3", "shoc")
     emit(r_p3b, "p3", "shoc", extra=f",nens={big},ens_chunk={ck}")
+    if r_p3c is not None:
+        emit(r_p3c, "p3", "shoc", extra=f",nens={big2},ens_chunk="
+             f"{pick_ens_chunk(nx, ny, nz, jnp.float32, big2)}")
     emit(r_kb, "kessler", "none", extra=f",nens={big},ens_chunk={ck}")
     emit(r_a, "kessler", "none", dycore="awfl")
     emit(r_k, "kessler", "none", baseline_ratio(r_k["value"]))

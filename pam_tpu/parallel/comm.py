@@ -185,40 +185,42 @@ def halo_pad(a, h: int, axis: int = -1, kind: str = None):
     nd = a.ndim
     ax = axis % nd - nd
     name = _axis_name_for(ax, kind)
-    idx_l = [slice(None)] * a.ndim
-    idx_r = [slice(None)] * a.ndim
-    idx_l[ax] = slice(0, h)
-    idx_r[ax] = slice(a.shape[ax] - h, None)
-    left_edge = a[tuple(idx_l)]    # my first h columns
-    right_edge = a[tuple(idx_r)]   # my last h columns
+
+    def edge(width, side):
+        """My first (side='l') / last (side='r') ``width`` columns."""
+        sl = [slice(None)] * a.ndim
+        sl[ax] = (slice(0, width) if side == "l"
+                  else slice(a.shape[ax] - width, None))
+        return a[tuple(sl)]
+
     if name is None or _axis_size(name) == 1:
         assert h <= a.shape[ax], \
             f"halo_pad h={h} exceeds axis extent {a.shape[ax]}"
-        return jnp.concatenate([right_edge, a, left_edge], axis=ax)
+        return jnp.concatenate([edge(h, "r"), a, edge(h, "l")], axis=ax)
     n = _axis_size(name)
     nloc = a.shape[ax]
     if h > nloc:
         # halo wider than one shard (tiny-grid many-shard tests): fetch
-        # whole shards from neighbors-of-neighbors, hop by hop, then trim
+        # from neighbors-of-neighbors hop by hop — whole shards for the
+        # near hops, only the needed remainder from the farthest one
         import math
         hops = math.ceil(h / nloc)
         assert hops < n, (
             f"halo_pad h={h} needs {hops} shards but axis {name!r} has "
             f"only {n}")
+        w_far = h - (hops - 1) * nloc
         lparts, rparts = [], []
         for d in range(1, hops + 1):
-            lparts.append(lax.ppermute(a, name, _ring_perm(n, d)))
-            rparts.append(lax.ppermute(a, name, _ring_perm(n, -d)))
-        left_halo = jnp.concatenate(lparts[::-1], axis=ax)
-        right_halo = jnp.concatenate(rparts, axis=ax)
-        sl_l = [slice(None)] * a.ndim
-        sl_l[ax] = slice(left_halo.shape[ax] - h, None)
-        sl_r = [slice(None)] * a.ndim
-        sl_r[ax] = slice(0, h)
+            send_l = edge(w_far, "r") if d == hops else a
+            send_r = edge(w_far, "l") if d == hops else a
+            lparts.append(lax.ppermute(send_l, name, _ring_perm(n, d)))
+            rparts.append(lax.ppermute(send_r, name, _ring_perm(n, -d)))
+        # farthest-first on the left, farthest-last on the right: each
+        # halo is exactly h wide by construction
         return jnp.concatenate(
-            [left_halo[tuple(sl_l)], a, right_halo[tuple(sl_r)]], axis=ax)
-    from_left = lax.ppermute(right_edge, name, _ring_perm(n, 1))
-    from_right = lax.ppermute(left_edge, name, _ring_perm(n, -1))
+            lparts[::-1] + [a] + rparts, axis=ax)
+    from_left = lax.ppermute(edge(h, "r"), name, _ring_perm(n, 1))
+    from_right = lax.ppermute(edge(h, "l"), name, _ring_perm(n, -1))
     return jnp.concatenate([from_left, a, from_right], axis=ax)
 
 

@@ -441,41 +441,31 @@ class Tendencies3D:
         form executes (then discards) the same arithmetic on the
         non-positive rows."""
         pos_list = [bool(p) for p in self.varset.dens_pos]
-        k0 = next((i for i, p in enumerate(pos_list) if p), len(pos_list))
         densrecon0, densrecon1 = densrecon
-        if all(pos_list[k0:]) and k0 > 0:
+        if not any(pos_list):
+            return (densrecon0, densrecon1), densvertrecon
+        k0 = next(i for i, p in enumerate(pos_list) if p)
+        if all(pos_list[k0:]):
             (dr0, dr1), dvr = self._fct_all_pos(
                 dens[k0:], (densrecon0[k0:], densrecon1[k0:]),
                 densvertrecon[k0:], F, FW, dt)
+            if k0 == 0:
+                return (dr0, dr1), dvr
             return ((jnp.concatenate([densrecon0[:k0], dr0], axis=0),
                      jnp.concatenate([densrecon1[:k0], dr1], axis=0)),
                     jnp.concatenate([densvertrecon[:k0], dvr], axis=0))
+        # non-contiguous positives: limiter on the full stack, per-row
+        # select (bitwise equal to limiting each positive row)
         pos = jnp.asarray(self.varset.dens_pos)[:, None, None, None, None]
-        ef0 = densrecon0 * F[0][None]
-        ef1 = densrecon1 * F[1][None]
-        vef = densvertrecon * FW[None]
-        eps = 1.0e-8
-        out_x = jnp.maximum(rx(ef0, 1), 0.0) - jnp.minimum(ef0, 0.0)
-        out_y = jnp.maximum(ry(ef1, 1), 0.0) - jnp.minimum(ef1, 0.0)
-        out_z = jnp.maximum(vef[..., 1:, :, :], 0.0) - \
-            jnp.minimum(vef[..., :-1, :, :], 0.0)
-        Mf = (out_x + out_y + out_z) * dt + eps
-        ratio = jnp.minimum(1.0, dens / Mf)
-        phi_x = jnp.where(ef0 > 0, rx(ratio, -1), ratio)
-        densrecon0 = jnp.where(pos, densrecon0 * phi_x, densrecon0)
-        phi_y = jnp.where(ef1 > 0, ry(ratio, -1), ratio)
-        densrecon1 = jnp.where(pos, densrecon1 * phi_y, densrecon1)
-        vf = vef[..., 1:-1, :, :]
-        phi_z = jnp.where(vf > 0, ratio[..., :-1, :, :], ratio[..., 1:, :, :])
-        ones = jnp.ones_like(densvertrecon[..., :1, :, :])
-        phi_z_full = jnp.concatenate([ones, phi_z, ones], axis=AXZ)
-        densvertrecon = jnp.where(pos, densvertrecon * phi_z_full,
-                                  densvertrecon)
-        return (densrecon0, densrecon1), densvertrecon
+        (dr0, dr1), dvr = self._fct_all_pos(
+            dens, (densrecon0, densrecon1), densvertrecon, F, FW, dt)
+        return ((jnp.where(pos, dr0, densrecon0),
+                 jnp.where(pos, dr1, densrecon1)),
+                jnp.where(pos, dvr, densvertrecon))
 
     def _fct_all_pos(self, dens, densrecon, densvertrecon, F, FW, dt):
-        """fct() body for an all-positive stack (the pos select reduces
-        to the plain limiter multiply)."""
+        """fct() limiter body: every row of the given stack is limited
+        (callers slice/select for partially-positive stacks)."""
         densrecon0, densrecon1 = densrecon
         ef0 = densrecon0 * F[0][None]
         ef1 = densrecon1 * F[1][None]

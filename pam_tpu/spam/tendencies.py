@@ -324,13 +324,27 @@ class SpamTendencies:
         dead on the P3 config, traced round 5). Results are bitwise
         identical (same ops on the same rows)."""
         pos_list = [bool(p) for p in self.varset.dens_pos]
-        k0 = next((i for i, p in enumerate(pos_list) if p), len(pos_list))
-        if all(pos_list[k0:]) and k0 > 0:
+        if not any(pos_list):
+            return densrecon, densvertrecon
+        k0 = next(i for i, p in enumerate(pos_list) if p)
+        if all(pos_list[k0:]):
             dr_t, dvr_t = self._fct_all_pos(dens[k0:], densrecon[k0:],
                                             densvertrecon[k0:], F, FW, dt)
+            if k0 == 0:
+                return dr_t, dvr_t
             return (jnp.concatenate([densrecon[:k0], dr_t], axis=0),
                     jnp.concatenate([densvertrecon[:k0], dvr_t], axis=0))
+        # non-contiguous positives: limiter on the full stack, per-row
+        # select (bitwise equal to limiting each positive row)
         pos = jnp.asarray(self.varset.dens_pos)[:, None, None, None]
+        dr_all, dvr_all = self._fct_all_pos(dens, densrecon, densvertrecon,
+                                            F, FW, dt)
+        return (jnp.where(pos, dr_all, densrecon),
+                jnp.where(pos, dvr_all, densvertrecon))
+
+    def _fct_all_pos(self, dens, densrecon, densvertrecon, F, FW, dt):
+        """fct() limiter body: every row of the given stack is limited
+        (callers slice/select for partially-positive stacks)."""
         edgeflux = densrecon * F[None]
         vertedgeflux = densvertrecon * FW[None]
         eps = 1.0e-8
@@ -342,30 +356,8 @@ class SpamTendencies:
         # Phi at x-edges: upwind cell i-1 if edgeflux>0 else i (fct.h:190-210)
         ratio = jnp.minimum(1.0, dens / Mf)
         phi_x_ = jnp.where(edgeflux > 0, rollm(ratio, -1), ratio)
-        densrecon = jnp.where(pos, densrecon * phi_x_, densrecon)
-        # Phivert at interior interfaces: upwind cell k-1 if >0 else k
-        vf = vertedgeflux[..., 1:-1, :]
-        phi_z = jnp.where(vf > 0, ratio[..., :-1, :], ratio[..., 1:, :])
-        ones = jnp.ones_like(densvertrecon[..., :1, :])
-        phi_z_full = jnp.concatenate([ones, phi_z, ones], axis=AXZ)
-        densvertrecon = jnp.where(pos, densvertrecon * phi_z_full,
-                                  densvertrecon)
-        return densrecon, densvertrecon
-
-    def _fct_all_pos(self, dens, densrecon, densvertrecon, F, FW, dt):
-        """fct() body for a stack whose rows are ALL positive-limited
-        (the where(pos, x*phi, x) select reduces to x*phi)."""
-        edgeflux = densrecon * F[None]
-        vertedgeflux = densvertrecon * FW[None]
-        eps = 1.0e-8
-        out_x = jnp.maximum(rollm(edgeflux, 1), 0.0) - \
-            jnp.minimum(edgeflux, 0.0)
-        out_z = jnp.maximum(vertedgeflux[..., 1:, :], 0.0) - \
-            jnp.minimum(vertedgeflux[..., :-1, :], 0.0)
-        Mf = (out_x + out_z) * dt + eps
-        ratio = jnp.minimum(1.0, dens / Mf)
-        phi_x_ = jnp.where(edgeflux > 0, rollm(ratio, -1), ratio)
         densrecon = densrecon * phi_x_
+        # Phivert at interior interfaces: upwind cell k-1 if >0 else k
         vf = vertedgeflux[..., 1:-1, :]
         phi_z = jnp.where(vf > 0, ratio[..., :-1, :], ratio[..., 1:, :])
         ones = jnp.ones_like(densvertrecon[..., :1, :])

@@ -31,19 +31,17 @@ def _golden_dir():
 
 
 def _run(micro, sgs):
-    import jax.numpy as jnp
-    from pam_tpu.driver.mmf import setup_supercell_mmf
-    from pam_tpu.modules import gcm_forcing
-    drv, state = setup_supercell_mmf(
-        nx=16, ny=1, nz=12, nens=2, xlen=32000.0, ylen=64000.0,
-        zlen=20000.0, micro=micro, sgs=sgs, dt_gcm=200.0, dt_crm_phys=20.0,
-        dycore="spam", dtype=jnp.float64)
-    state = gcm_forcing.compute_gcm_forcing_tendencies(drv.coupler, state,
-                                                       drv.dt_gcm)
-    step = jax.jit(drv.crm_phys_step)
-    for _ in range(10):
-        state = step(state)
-    return state
+    # the config lives in ONE place — tools/make_golden.py — so the
+    # generator and this check can never drift apart (a tweaked
+    # generator config would otherwise fail here looking like a
+    # numerics regression)
+    import sys
+    tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from make_golden import run_config
+    return run_config(micro, sgs)
 
 
 @pytest.mark.parametrize("name,micro,sgs", [

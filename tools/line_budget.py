@@ -69,6 +69,14 @@ def main():
             base = os.path.relpath(src, start=repo_root) \
                 if src.startswith(repo_root) else os.path.basename(src)
             hlo_meta[m.group(1)] = f"{base}:{m.group(3)}"
+    if not hlo_meta:
+        # fail LOUDLY: with zero parsed metadata every event would land
+        # in "unattributed" and the committed artifact would be silently
+        # empty (e.g. if an XLA upgrade changes the HLO text format)
+        raise RuntimeError(
+            "line_budget: parsed 0 op->source mappings from the compiled "
+            "HLO text — the metadata regex no longer matches this XLA's "
+            "format; fix the pattern before trusting any budget output")
 
     for _ in range(20):
         state = step(state)
