@@ -147,6 +147,30 @@ def test_explicit_crm_step_spam_si_matches_unsharded(mmf_spam_si):
     _compare(ref, out)
 
 
+def test_explicit_sharded_step_composes_with_host_chunking(mmf_spam_si):
+    """The production large-ensemble composition (round 5): ensemble
+    micro-batch chunks dispatched from the host, EACH chunk run through
+    the explicit shard_map path over an (ens, x) mesh. Must match the
+    unsharded full-ensemble step — proving host chunking and spatial
+    sharding compose (on a pod: chunk ens over chips, x over ICI
+    neighbors, chunks sequenced by the dispatch queue)."""
+    from pam_tpu.driver.mmf import (setup_supercell_mmf, _split_ens,
+                                    _join_ens)
+    drv_full, state = mmf_spam_si
+    ref = jax.jit(drv_full.crm_phys_step)(state)
+    drv_chunk, _ = setup_supercell_mmf(nx=16, ny=1, nz=12, nens=4,
+                                       xlen=32000.0, ylen=64000.0,
+                                       zlen=20000.0, micro="kessler",
+                                       dt_gcm=80.0, dt_crm_phys=20.0,
+                                       dycore="spam")
+    mesh = make_mesh(n_ens_shards=2, n_x_shards=2,
+                     devices=jax.devices()[:4])
+    step, place = sharded_crm_step(drv_chunk, mesh)
+    chunks = _split_ens(state, 2)
+    out = _join_ens(tuple(step(place(dict(c))) for c in chunks))
+    _compare(ref, out)
+
+
 def test_explicit_kessler_rainsplit_min_spans_shards(mmf_spam_si):
     """The rainsplit CFL min must span the WHOLE domain under explicit
     x-sharding (Microphysics.h:385-390 is a full-array minval). Guarded
