@@ -239,6 +239,12 @@ void pam_interface_set_option_bool(const char *name, bool v) {
 void pam_interface_set_option_int(const char *name, int v) {
   coupler().options.set(name, static_cast<int64_t>(v));
 }
+void pam_interface_set_option_int64(const char *name, long long v) {
+  // full-width integer setter for hosts with 64-bit option values
+  // (timestamps, step counts); the int overload keeps the reference's
+  // Fortran-facing ABI
+  coupler().options.set(name, static_cast<int64_t>(v));
+}
 void pam_interface_set_option_double(const char *name, double v) {
   coupler().options.set(name, v);
 }
@@ -249,23 +255,56 @@ void pam_interface_set_option_string(const char *name, const char *v) {
   coupler().options.set(name, std::string(v));
 }
 
+// Getters must not throw across the extern "C"/FFI boundary (that would
+// std::terminate the host process with no catchable error): missing or
+// wrong-typed lookups return a zero value; callers that need a hard
+// failure query pam_interface_get_option_type first (the ctypes bridge
+// does, raising KeyError/TypeError on the Python side).
+int pam_interface_get_option_type(const char *name) {
+  auto &vals = coupler().options.values;
+  auto it = vals.find(name);
+  if (it == vals.end()) return -1;
+  return static_cast<int>(it->second.index());  // 0 bool, 1 int64,
+                                                // 2 double, 3 string
+}
 bool pam_interface_get_option_bool(const char *name) {
-  return std::get<bool>(coupler().options.values.at(name));
+  auto &vals = coupler().options.values;
+  auto it = vals.find(name);
+  if (it == vals.end() || !std::holds_alternative<bool>(it->second))
+    return false;
+  return std::get<bool>(it->second);
+}
+long long pam_interface_get_option_int64(const char *name) {
+  auto &vals = coupler().options.values;
+  auto it = vals.find(name);
+  if (it == vals.end() || !std::holds_alternative<int64_t>(it->second))
+    return 0;
+  return static_cast<long long>(std::get<int64_t>(it->second));
 }
 int pam_interface_get_option_int(const char *name) {
-  return static_cast<int>(std::get<int64_t>(coupler().options.values.at(name)));
+  return static_cast<int>(pam_interface_get_option_int64(name));
 }
 double pam_interface_get_option_double(const char *name) {
-  auto &v = coupler().options.values.at(name);
+  auto &vals = coupler().options.values;
+  auto it = vals.find(name);
+  if (it == vals.end()) return 0.0;
+  auto &v = it->second;
   if (std::holds_alternative<int64_t>(v))
     return static_cast<double>(std::get<int64_t>(v));
+  if (!std::holds_alternative<double>(v)) return 0.0;
   return std::get<double>(v);
 }
 float pam_interface_get_option_float(const char *name) {
   return static_cast<float>(pam_interface_get_option_double(name));
 }
 void pam_interface_get_option_string(const char *name, char *out, int maxlen) {
-  const auto &s = std::get<std::string>(coupler().options.values.at(name));
+  auto &vals = coupler().options.values;
+  auto it = vals.find(name);
+  if (it == vals.end() || !std::holds_alternative<std::string>(it->second)) {
+    if (maxlen > 0) out[0] = '\0';
+    return;
+  }
+  const auto &s = std::get<std::string>(it->second);
   std::strncpy(out, s.c_str(), maxlen - 1);
   out[maxlen - 1] = '\0';
 }

@@ -40,11 +40,16 @@ def _build_and_load():
     lib.pam_interface_get_option_double.restype = ctypes.c_double
     lib.pam_interface_get_option_float.restype = ctypes.c_float
     lib.pam_interface_get_option_bool.restype = ctypes.c_bool
+    lib.pam_interface_get_option_int64.restype = ctypes.c_longlong
     lib.pam_interface_validate_array.restype = ctypes.c_int64
     lib.pam_interface_set_option_double.argtypes = [ctypes.c_char_p,
                                                     ctypes.c_double]
     lib.pam_interface_set_option_bool.argtypes = [ctypes.c_char_p,
                                                   ctypes.c_bool]
+    # explicit 64-bit argtype: without it ctypes would silently mask a
+    # wide Python int to a C int
+    lib.pam_interface_set_option_int64.argtypes = [ctypes.c_char_p,
+                                                   ctypes.c_longlong]
     _LIB = lib
     return lib
 
@@ -75,8 +80,22 @@ class HostDataManager:
     def mirror_array(self, name: str, arr: np.ndarray, desc: str = "",
                     readonly: bool = True):
         """Zero-copy register of caller-owned memory (the GCM side of the
-        MMF coupling; ref: register_existing, DataManager.h:157)."""
-        arr = np.ascontiguousarray(arr)
+        MMF coupling; ref: register_existing, DataManager.h:157).
+
+        The registry aliases ``arr``'s buffer directly, so the input must
+        be C-contiguous — silently substituting a contiguous COPY would
+        break the alias (native-side writes would land in a hidden copy
+        the caller never sees)."""
+        if not (isinstance(arr, np.ndarray) and arr.flags["C_CONTIGUOUS"]):
+            raise ValueError(
+                f"mirror_array({name!r}): input must be a C-contiguous "
+                "numpy array (the registry aliases its memory; pass "
+                "np.ascontiguousarray(a) yourself if a copy is acceptable)")
+        if arr.dtype not in _SUFFIX:
+            raise TypeError(
+                f"mirror_array({name!r}): unsupported dtype {arr.dtype}; "
+                f"supported: {sorted(str(d) for d in _SUFFIX)} (note: "
+                "numpy's default int64 must be cast to int32 explicitly)")
         sfx = _SUFFIX[arr.dtype]
         dims = (ctypes.c_int * arr.ndim)(*arr.shape)
         fn = getattr(self.lib,
@@ -88,6 +107,11 @@ class HostDataManager:
 
     def register_and_allocate(self, name: str, shape, dtype=np.float64,
                               desc: str = ""):
+        if np.dtype(dtype) not in _SUFFIX:
+            raise TypeError(
+                f"register_and_allocate({name!r}): unsupported dtype "
+                f"{np.dtype(dtype)}; supported: "
+                f"{sorted(str(d) for d in _SUFFIX)}")
         sfx = _SUFFIX[np.dtype(dtype)]
         dims = (ctypes.c_int * len(shape))(*shape)
         getattr(self.lib, f"pam_interface_register_and_allocate_{sfx}")(
@@ -101,7 +125,13 @@ class HostDataManager:
         return bool(self.lib.pam_interface_array_exists(_b(name)))
 
     def get(self, name: str) -> np.ndarray:
-        """Zero-copy numpy view of a registered array."""
+        """Zero-copy numpy view of a registered array.
+
+        Lifetime contract (same as the reference's raw-pointer `get`,
+        DataManager.h:286): the view aliases registry-owned memory and is
+        valid only until ``unregister(name)`` or ``finalize()`` — using
+        it after that reads freed memory. Copy with ``np.array(view)``
+        if it must outlive the entry."""
         rank = self.lib.pam_interface_get_array_rank(_b(name))
         if rank < 0:
             raise KeyError(name)
@@ -131,11 +161,28 @@ class HostDataManager:
             _b(name), int(nan), int(inf), int(pos)))
 
     # ---- options ----
+    # variant indices of the native Options::Value
+    _OPT_TYPES = {0: "bool", 1: "int", 2: "float", 3: "str"}
+
+    def _check_option(self, name: str, want: str):
+        """Raise KeyError (missing) / TypeError (mismatch) BEFORE calling
+        a typed native getter — the C++ side deliberately returns zero
+        values instead of throwing across the FFI boundary (a C++
+        exception unwinding through ctypes would std::terminate the
+        process with no Python traceback)."""
+        t = self.lib.pam_interface_get_option_type(_b(name))
+        if t < 0:
+            raise KeyError(name)
+        have = self._OPT_TYPES[t]
+        if have != want and not (want == "float" and have == "int"):
+            raise TypeError(
+                f"option {name!r} holds a {have}, requested {want}")
+
     def set_option(self, name: str, value):
         if isinstance(value, bool):
             self.lib.pam_interface_set_option_bool(_b(name), value)
         elif isinstance(value, (int, np.integer)):
-            self.lib.pam_interface_set_option_int(_b(name), int(value))
+            self.lib.pam_interface_set_option_int64(_b(name), int(value))
         elif isinstance(value, (float, np.floating)):
             self.lib.pam_interface_set_option_double(_b(name), float(value))
         elif isinstance(value, str):
@@ -144,15 +191,19 @@ class HostDataManager:
             raise TypeError(type(value))
 
     def get_option_float(self, name: str) -> float:
+        self._check_option(name, "float")
         return float(self.lib.pam_interface_get_option_double(_b(name)))
 
     def get_option_int(self, name: str) -> int:
-        return int(self.lib.pam_interface_get_option_int(_b(name)))
+        self._check_option(name, "int")
+        return int(self.lib.pam_interface_get_option_int64(_b(name)))
 
     def get_option_bool(self, name: str) -> bool:
+        self._check_option(name, "bool")
         return bool(self.lib.pam_interface_get_option_bool(_b(name)))
 
     def get_option_str(self, name: str, maxlen: int = 256) -> str:
+        self._check_option(name, "str")
         buf = ctypes.create_string_buffer(maxlen)
         self.lib.pam_interface_get_option_string(_b(name), buf, maxlen)
         return buf.value.decode()

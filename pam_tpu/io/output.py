@@ -29,9 +29,7 @@ class NetCDFWriter:
         f = netcdf_file(self.fname, "w")
         f.createDimension("t", None)
         f.createDimension("x", c.nx)
-        f.createDimension("xp1", c.nx + 1)
         f.createDimension("y", c.ny)
-        f.createDimension("yp1", c.ny + 1)
         f.createDimension("z", c.nz)
         f.createDimension("zp1", c.nz + 1)
         f.createDimension("nens", c.nens)
@@ -56,6 +54,11 @@ class NetCDFWriter:
             elif a.shape == (c.nens, c.nz):
                 self._vars[name] = f.createVariable(
                     name, "d", ("t", "nens", "z"))
+            elif a.shape == (c.nens, c.nz + 1):
+                # interface-staggered columns (ref_presi,
+                # gcm_pressure_int, vertical_interface_height)
+                self._vars[name] = f.createVariable(
+                    name, "d", ("t", "nens", "zp1"))
         self.f = f
 
     def write(self, state, etime: float):
@@ -98,10 +101,14 @@ class HDF5Writer:
         for name, arr in state.items():
             a = np.asarray(arr)
             if a.shape in ((c.nens, c.nz, c.ny, c.nx), (c.nens, c.ny, c.nx),
-                           (c.nens, c.nz)):
+                           (c.nens, c.nz), (c.nens, c.nz + 1)):
+                # chunk per (snapshot, ensemble member): appends stay
+                # cheap, reads of one member decompress only that
+                # member, and chunks stay far below HDF5's 4 GiB cap at
+                # any grid/ensemble size
                 f.create_dataset(name, shape=(0,) + a.shape,
                                  maxshape=(None,) + a.shape,
-                                 chunks=(1,) + a.shape, dtype="f8",
+                                 chunks=(1, 1) + a.shape[1:], dtype="f8",
                                  compression="gzip", compression_opts=1)
                 self._names.append(name)
         self.f = f
@@ -122,6 +129,17 @@ class HDF5Writer:
         self.f.close()
 
 
+class NullWriter:
+    """No-op backend (the reference's blank_io.h): satisfies the writer
+    interface so callers need no None-guards."""
+
+    def write(self, state, etime: float):
+        pass
+
+    def close(self):
+        pass
+
+
 def make_writer(coupler: Coupler, state, prefix: str,
                 backend: str = "netcdf"):
     """Output-backend dispatch (the reference's compile-time IO choice,
@@ -131,7 +149,7 @@ def make_writer(coupler: Coupler, state, prefix: str,
     if backend == "hdf5":
         return HDF5Writer(coupler, state, prefix)
     if backend == "none":
-        return None
+        return NullWriter()
     raise ValueError(f"unknown io backend {backend!r}")
 
 

@@ -16,27 +16,32 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def _paths(path: str) -> tuple[str, str]:
+    """(arrays .npz path, metadata .json path) for a checkpoint name —
+    the single place save and load agree on the naming scheme."""
+    stem = path[:-4] if path.endswith(".npz") else path
+    return stem + ".npz", stem + ".json"
+
+
 def save_checkpoint(path: str, state: dict, etime: float = 0.0,
                     meta: dict = None):
     """Persist a coupler state dict (name -> array) plus metadata."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    npath, mpath = _paths(path)
     arrays = {k: np.asarray(v) for k, v in state.items()}
-    np.savez_compressed(path if path.endswith(".npz") else path + ".npz",
-                        **arrays)
+    np.savez_compressed(npath, **arrays)
     meta = dict(meta or {})
     meta["etime"] = float(etime)
     meta["fields"] = sorted(arrays)
-    mpath = (path[:-4] if path.endswith(".npz") else path) + ".json"
     with open(mpath, "w") as f:
         json.dump(meta, f, indent=1)
 
 
 def load_checkpoint(path: str, dtype=None):
     """Restore (state, etime, meta). Arrays come back as jnp arrays."""
-    npath = path if path.endswith(".npz") else path + ".npz"
+    npath, mpath = _paths(path)
     with np.load(npath) as data:
         state = {k: jnp.asarray(data[k], dtype) for k in data.files}
-    mpath = (path[:-4] if path.endswith(".npz") else path) + ".json"
     meta = {}
     if os.path.exists(mpath):
         with open(mpath) as f:

@@ -47,10 +47,19 @@ def nc_to_h5(src: str, dst: str):
     import h5py
     from scipy.io import netcdf_file
     f = netcdf_file(src, "r")
+    # record variables (unlimited time dim) keep an unlimited maxshape so
+    # the output matches the HDF5Writer format — h5_to_nc then classifies
+    # them back as record variables and the round trip preserves the
+    # schema (and HDF5Writer-style appends keep working)
+    unlimited = {n for n, d in f.dimensions.items() if d is None}
     with h5py.File(dst, "w") as out:
         for name, var in f.variables.items():
-            out.create_dataset(name, data=np.asarray(var[:]),
-                               compression="gzip", compression_opts=1)
+            data = np.asarray(var[:])
+            record = bool(var.dimensions) and var.dimensions[0] in unlimited
+            out.create_dataset(
+                name, data=data,
+                maxshape=((None,) + data.shape[1:]) if record else None,
+                compression="gzip", compression_opts=1)
     f.close()
 
 

@@ -62,6 +62,33 @@ def test_options(dm):
     assert dm.option_is_set("crm_dt")
     dm.remove_option("crm_dt")
     assert not dm.option_is_set("crm_dt")
+    # int options are 64-bit end-to-end (ctypes argtypes + the int64
+    # native setter; a plain C int would silently truncate)
+    dm.set_option("seed", 2**35 + 7)
+    assert dm.get_option_int("seed") == 2**35 + 7
+    # int promotes to float on request (GCM configs store dt as int)
+    assert dm.get_option_float("seed") == float(2**35 + 7)
+    # missing/wrong-typed lookups raise in PYTHON (a C++ throw across the
+    # ctypes boundary would std::terminate the process)
+    with pytest.raises(KeyError):
+        dm.get_option_int("no_such_option")
+    with pytest.raises(TypeError):
+        dm.get_option_int("micro")       # holds a string
+    with pytest.raises(TypeError):
+        dm.get_option_str("adv")         # holds a bool
+
+
+def test_mirror_rejects_noncontiguous_and_unsupported(dm):
+    """mirror_array aliases caller memory: a silent contiguous COPY would
+    break the zero-copy contract (writes landing in a hidden buffer), and
+    numpy's default int64 has no registry dtype — both must fail loudly."""
+    big = np.zeros((4, 8))
+    with pytest.raises(ValueError, match="contiguous"):
+        dm.mirror_array("stride", big[:, ::2], readonly=False)
+    with pytest.raises(TypeError, match="int64"):
+        dm.mirror_array("ints", np.arange(4), readonly=False)
+    with pytest.raises(TypeError, match="unsupported"):
+        dm.register_and_allocate("h", (2, 2), dtype=np.int64)
 
 
 def test_validators_and_dirty(dm):

@@ -146,6 +146,69 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(state[k]))
 
 
+def test_writer_staggered_fields_and_none_backend(tmp_path):
+    """(nens, nz+1) interface-staggered coupler fields (ref_presi,
+    gcm_pressure_int) must appear in both writer backends, and the 'none'
+    backend must satisfy the writer interface (blank_io.h analog) instead
+    of returning None into writer.write()."""
+    import h5py
+    import jax.numpy as jnp
+    from scipy.io import netcdf_file
+    from pam_tpu.core.coupler import Coupler
+    from pam_tpu.io.output import make_writer
+    cpl = Coupler(nz=3, ny=1, nx=4, nens=2, xlen=4000.0, ylen=1000.0,
+                  dtype=jnp.float64)
+    cpl = cpl.add_tracer("water_vapor")
+    state = dict(cpl.allocate_state(np.linspace(0, 3000.0, 4)))
+    state["ref_presi"] = state["ref_presi"] + 7.0
+    for backend in ("netcdf", "hdf5"):
+        w = make_writer(cpl, state, str(tmp_path / backend), backend)
+        w.write(state, 0.0)
+        w.close()
+    f = netcdf_file(str(tmp_path / "netcdf.nc"), "r")
+    assert f.variables["ref_presi"].shape == (1, 2, 4)  # (t, nens, zp1)
+    np.testing.assert_allclose(np.asarray(f.variables["ref_presi"][0]), 7.0)
+    f.close()
+    with h5py.File(str(tmp_path / "hdf5.h5")) as f:
+        assert f["gcm_pressure_int"].shape == (1, 2, 4)
+    w = make_writer(cpl, state, str(tmp_path / "n"), backend="none")
+    w.write(state, 0.0)   # no-op, must not raise
+    w.close()
+    assert not (tmp_path / "n.nc").exists()
+
+
+def test_convert_output_roundtrip_preserves_record_axis(tmp_path):
+    """nc -> h5 must keep the unlimited time axis (maxshape None) so the
+    conversion is the inverse of h5_to_nc and matches the HDF5Writer
+    schema (appendable record variables)."""
+    import h5py
+    from scipy.io import netcdf_file
+    from pam_tpu.utils import convert_output
+    src = str(tmp_path / "a.nc")
+    f = netcdf_file(src, "w")
+    f.createDimension("t", None)
+    f.createDimension("x", 3)
+    v = f.createVariable("q", "d", ("t", "x"))
+    v[0] = [1.0, 2.0, 3.0]
+    v[1] = [4.0, 5.0, 6.0]
+    xv = f.createVariable("x", "d", ("x",))
+    xv[:] = [0.0, 1.0, 2.0]
+    tv = f.createVariable("t", "d", ("t",))
+    tv[0] = 0.0
+    tv[1] = 10.0
+    f.close()
+    convert_output.nc_to_h5(src, str(tmp_path / "a.h5"))
+    with h5py.File(str(tmp_path / "a.h5")) as h:
+        assert h["q"].maxshape == (None, 3)     # record axis preserved
+        assert h["x"].maxshape == (3,)          # coordinate stays fixed
+    convert_output.h5_to_nc(str(tmp_path / "a.h5"), str(tmp_path / "b.nc"))
+    g = netcdf_file(str(tmp_path / "b.nc"), "r")
+    assert g.variables["q"].dimensions[0] == "t"  # still a record var
+    np.testing.assert_allclose(np.asarray(g.variables["q"][1]),
+                               [4.0, 5.0, 6.0])
+    g.close()
+
+
 def test_convert_output_h5_to_nc(tmp_path):
     """HDF5 -> NetCDF-3 converter (parity analog of
     utils/convert_to_netcdf4.py)."""
