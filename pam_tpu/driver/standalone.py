@@ -104,7 +104,10 @@ def run_mmf(cfg: dict, verbose: bool = True):
     nout = [0]
 
     def cb(s, etime):
-        if writer is not None and etime / out_freq >= nout[0] + 1:
+        # multiplication, not division: out_freq == 0 means "write every
+        # callback" (the reference's C++ float division yields inf and
+        # never writes again; every-step is the useful reading of 0)
+        if writer is not None and etime >= (nout[0] + 1) * out_freq:
             writer.write(s, etime)
             nout[0] += 1
         if verbose:
@@ -261,8 +264,9 @@ def run_idealized(cfg: dict, verbose: bool = True):
     nx = cfg["crm_nx"]
     nz = cfg["crm_nz"]
     nens = cfg.get("nens", 1)
+    dtype = jnp.float64 if cfg.get("f64", True) else jnp.float32
     geom = ExtrudedGeometry.build(nx, np.linspace(0.0, tc.Lz, nz + 1),
-                                  tc.Lx, nens, jnp.float64)
+                                  tc.Lx, nens, dtype)
     thermo = thermo_from_string(cfg.get(
         "thermo", "constkappavirpottemp" if moist else "idealgaspottemp"))
     special_ref = None
@@ -407,7 +411,10 @@ def run_idealized(cfg: dict, verbose: bool = True):
     t0 = time.time()
     for n in range(nsteps):
         dens, v, w = step(dens, v, w)
-        if (n + 1) % stats_every == 0:
+        if (n + 1) % stats_every == 0 and (stats_writer is not None
+                                           or verbose):
+            # skip the reduction+device sync entirely when nobody reads
+            # it (matches the guarded loops in run_idealized_3d/run_layer)
             st = tend.statistics(dens, v, w, geop)
             if stats_writer is not None:
                 stats_writer.write(st, dt * (n + 1))

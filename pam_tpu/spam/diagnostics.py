@@ -94,8 +94,9 @@ def compute_diagnostics(tend, dens, v, w, names=None):
     """Evaluate the named diagnostics; default = all applicable built-ins
     (QXYl only for the 3-D model)."""
     if names is None:
+        from .extruded3d import Tendencies3D
         names = list(DIAGNOSTICS)
-        if type(tend).__name__ == "Tendencies3D":
+        if isinstance(tend, Tendencies3D):   # incl. future subclasses
             names.remove("zeta")         # slab-layout circulation form
         else:
             names.remove("QXYl")

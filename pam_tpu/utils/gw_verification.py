@@ -48,33 +48,31 @@ def gravity_wave_errors(tc, geom, thermo, varset, dens, w, t):
 
     Returns {var: (Linf, L2, Ediss, Edisp)}.
     """
-    from ..spam.testcases import project_n1form
+    # the exact-solution sampling conventions (n-form projections, cell
+    # centers, interior-interface w) live in ONE place —
+    # diagnostics.gravity_wave_exact — so the convergence study and the
+    # output diagnostics can never drift apart
+    from ..spam.diagnostics import gravity_wave_exact
 
     dens = np.asarray(dens, np.float64)
     w = np.asarray(w, np.float64)
     vol = geom.dx * np.asarray(geom.dz_d)               # (nens, nz) (dy=1)
+    dz_p = np.asarray(geom.dz_p)[:, :, None]
+    ex = gravity_wave_exact(tc, geom, thermo, t)
+
     rho = dens[0] / vol[:, :, None]
     S = dens[1] / vol[:, :, None]
-    rho_e = project_n1form(
-        lambda x, z: tc.rhoexact_f(x, z, t, thermo), geom) / vol[:, :, None]
-    S_e = project_n1form(
-        lambda x, z: tc.entropicdensityexact_f(x, z, t, thermo),
-        geom) / vol[:, :, None]
+    rho_e = np.asarray(ex["dense"][0]) / vol[:, :, None]
+    S_e = np.asarray(ex["dense"][1]) / vol[:, :, None]
 
-    # cell centers (dual): x = (i + 1/2) dx, z = zmid_d
-    xc = (np.arange(geom.nx) + 0.5) * geom.dx
-    zc = 0.5 * (np.asarray(geom.zint_d)[:, :-1] + np.asarray(geom.zint_d)[:, 1:])
-    X = xc[None, None, :]
-    Z = zc[:, :, None]
     alpha = np.asarray(varset.get_alpha(dens))
     sv = np.asarray(varset.get_entropic_var(dens))
     T = np.asarray(thermo.compute_T_from_alpha(alpha, sv, 1.0, 0, 0, 0))
-    T_e = tc.Texact_f(X + 0 * Z, Z + 0 * X, t, thermo)
+    T_e = np.asarray(ex["Te"])
 
-    # w at interior interfaces: x cell-centered, z = zint_d[1:-1]
-    w_pt = w / np.asarray(geom.dz_p)[:, :, None]
-    Zw = np.asarray(geom.zint_d)[:, 1:-1][:, :, None]
-    w_e = tc.wexact_f(X + 0 * Zw, Zw + 0 * X, t, thermo)
+    # point w at interior interfaces (both de-scaled by dz_p)
+    w_pt = w / dz_p
+    w_e = np.asarray(ex["we"]) / dz_p
 
     return {"rho": _metrics(rho, rho_e), "S": _metrics(S, S_e),
             "T": _metrics(T, T_e), "w": _metrics(w_pt, w_e)}
@@ -135,7 +133,9 @@ def convergence_study(nlevels: int = 2, base_dt: float = 20.0,
         if verbose:
             print(f"level {lev}: nx={nx} nz={nz} dt={dt} "
                   f"steps={int(round(timeend / dt))}", flush=True)
-        errs, tc, geom = run_level(nx, nz + 1, dt, timeend)
+        # nz cells exactly (dz halves level-to-level; passing nz+1 would
+        # give dz ratios of 21/41/81 and bias the log2 rates by ~2-4%)
+        errs, tc, geom = run_level(nx, nz, dt, timeend)
         results.append(errs)
         dxs.append(tc.Lx / nx)
     if verbose:

@@ -13,29 +13,34 @@ import numpy as np
 
 
 def running_mean(x, N: int):
-    """Boundary-shrinking running mean (utils/plotting/ke_spectra.py rm)."""
+    """Boundary-shrinking running mean (utils/plotting/ke_spectra.py rm):
+    a centered N-window that shrinks SYMMETRICALLY at both ends (the
+    window is [i-h, i-h+N) clipped to the array)."""
     x = np.asarray(x, np.float64)
     ret = x.copy()
     h = N // 2
     nx = x.shape[0]
     for i in range(nx):
         lo = max(0, i - h)
-        hi = min(nx, i - h + N) if i - h >= 0 else i + 1
+        hi = min(nx, i + (N - h))
         ret[i] = np.mean(x[lo:max(hi, lo + 1)])
     return ret
 
 
 def ke_spectra(u, v, w, dx: float = 500.0):
-    """1-D kinetic-energy spectrum along the last axis, other axes averaged
-    (utils/plotting/ke_spectra.py ke_spectra). Returns (freq, power)."""
-    u = np.asarray(u)
-    v = np.asarray(v)
-    w = np.asarray(w)
-    while u.ndim > 1:
-        u, v, w = u.mean(axis=0), v.mean(axis=0), w.mean(axis=0)
-    ke = 0.5 * (u * u + v * v + w * w)
-    spd = np.abs(np.fft.rfft(ke)) ** 2
-    freq = np.fft.rfftfreq(len(u), d=dx)
+    """1-D kinetic-energy spectrum along the last axis
+    (utils/plotting/ke_spectra.py ke_spectra). Returns (freq, power) with
+    E(k) = 0.5 (|u_k|^2 + |v_k|^2 + |w_k|^2) per row, AVERAGED over the
+    leading axes (levels/ensemble). Averaging the velocity FIELDS first
+    would let cross-level phase cancellation destroy the spectrum (two
+    opposite-phase shear layers -> zero power), and FFT-ing the pointwise
+    ke field would shift a single mode k to 2k — both wrong."""
+    rows = [np.asarray(a).reshape(-1, np.asarray(a).shape[-1])
+            for a in (u, v, w)]
+    nx = rows[0].shape[-1]
+    spd = sum(0.5 * (np.abs(np.fft.rfft(r, axis=-1)) ** 2).mean(axis=0)
+              for r in rows)
+    freq = np.fft.rfftfreq(nx, d=dx)
     return freq, spd
 
 

@@ -14,7 +14,8 @@ def test_running_mean():
 
 
 def test_ke_spectra_peak():
-    # single-mode u field -> spectral peak of ke at 2x that wavenumber or DC
+    # E(k) = 0.5 sum |u_hat|^2: a single-mode u field peaks at ITS
+    # wavenumber (FFT-ing the pointwise ke field would double it)
     nx = 128
     dx = 500.0
     x = np.arange(nx) * dx
@@ -22,8 +23,12 @@ def test_ke_spectra_peak():
     u = np.sin(k1 * x)
     freq, spd = plo.ke_spectra(u, 0 * u, 0 * u, dx=dx)
     assert freq.shape == spd.shape
-    # ke = (1-cos(2 k1 x))/4 -> power at mode 8 (and DC)
-    assert np.argmax(spd[1:]) + 1 == 8
+    assert np.argmax(spd[1:]) + 1 == 4
+    # leading axes average the per-row SPECTRA, not the fields:
+    # opposite-phase levels must not cancel to zero power
+    u2 = np.stack([u, -u])
+    _, spd2 = plo.ke_spectra(u2, 0 * u2, 0 * u2, dx=dx)
+    np.testing.assert_allclose(spd2, spd, rtol=1e-12)
 
 
 def test_tracer_min():
