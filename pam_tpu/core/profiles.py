@@ -96,8 +96,7 @@ def ellipsoid_cosine(x, y, z, x0, y0, z0, xrad, yrad, zrad, amp, pwr=2.0):
 
 def hydro_const_theta(z, grav, C0, cp, p0, gamma, rd, theta0=300.0):
     """Hydrostatic (density, potential temperature) for constant theta
-    background (ref: Dycore.h:739-748)."""
-    exner = 1.0 - grav * z / (cp * theta0)
-    p = p0 * exner ** (cp / rd)
-    rt = (p / C0) ** (1.0 / gamma)
-    return rt / theta0, theta0 * jnp.ones_like(z)
+    background (ref: Dycore.h:739-748) — the Dycore-signature wrapper of
+    :func:`const_theta_density`."""
+    r = const_theta_density(theta0, z, rd, cp, gamma, p0, C0, grav)
+    return r, theta0 * jnp.ones_like(z)

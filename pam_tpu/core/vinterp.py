@@ -96,11 +96,20 @@ def cells_to_edges(data, zint, bc_lower: int = BC_ZERO_GRADIENT,
     idl = _idl(ord)
     tvM_hi = rm.tv_quadform(ord, truncate=False)
     tvM_lo = rm.tv_quadform(hs + 1, truncate=False)
-    # expand matrices over trailing spatial dims
+    # expand matrices over trailing spatial dims; BROADCAST the leading
+    # axis (a shared 1-D zint builds nens=1 matrices for nens>1 data —
+    # the documented shared-grid case)
     extra = data.ndim - 2
     sh = (data.shape[0], nz) + (1,) * extra
-    hi_b = jnp.asarray(hi).reshape(sh + (ord, ord))
-    lo_b = jnp.asarray(lo).reshape(sh + (hs + 1, hs + 1, hs + 1))
+    hi = jnp.asarray(hi)
+    lo = jnp.asarray(lo)
+    hi_b = jnp.broadcast_to(
+        hi.reshape((hi.shape[0], nz) + (1,) * extra + (ord, ord)),
+        sh + (ord, ord))
+    lo_b = jnp.broadcast_to(
+        lo.reshape((lo.shape[0], nz) + (1,) * extra +
+                   (hs + 1, hs + 1, hs + 1)),
+        sh + (hs + 1, hs + 1, hs + 1))
 
     # WENO combination (ref: compute_weno_coefs, vertical_interp.h:287-349;
     # no weight mapping, eps=1e-20)

@@ -16,11 +16,14 @@ def horizontal_average(coupler, state, var_names):
     """For each named field, store its horizontal mean as
     ``<name>_horizontal_average`` in the state. Fields are the coupler's
     (nens, nz, ny, nx) layout; the average is over (ny, nx), yielding
-    (nens, nz) columns (ref intent: horizontal_average.h:25-80)."""
+    (nens, nz) columns (ref intent: horizontal_average.h:25-80). The mean
+    is shard-aware (comm.pmean_h): inside the explicit shard_map mode it
+    spans the whole CRM, not the local shard."""
+    from ..parallel import comm
     out = dict(state)
     for name in var_names:
-        out[name + "_horizontal_average"] = jnp.mean(state[name],
-                                                     axis=(-2, -1))
+        out[name + "_horizontal_average"] = comm.pmean_h(state[name],
+                                                         (-2, -1))
     return out
 
 

@@ -29,15 +29,20 @@ def _get3d(coupler, state, name):
     return jnp.zeros_like(state["density_dry"])
 
 
+def _liq_name(state) -> str:
+    """The cloud-liquid tracer alias (P3 registers "cloud_water", Kessler
+    "cloud_liquid") — ONE selection shared by compute and apply so the
+    forcing is always computed from and applied to the same field."""
+    return "cloud_water" if "cloud_water" in state else "cloud_liquid"
+
+
 def compute_gcm_forcing_tendencies(coupler: Coupler, state, dt_gcm):
     """Store (gcm - colavg(crm))/dt_gcm forcing columns in the state.
     Ref: compute_gcm_forcing_tendencies, gcm_forcing.h:18-204."""
     out = dict(state)
     rho_d = state["density_dry"]
     rho_v = _get3d(coupler, state, "water_vapor")
-    rho_l = _get3d(coupler, state, "cloud_water")
-    if "cloud_water" not in state and "cloud_liquid" in state:
-        rho_l = state["cloud_liquid"]
+    rho_l = _get3d(coupler, state, _liq_name(state))
     rho_i = _get3d(coupler, state, "ice")
     r_dt = 1.0 / dt_gcm
 
@@ -112,7 +117,7 @@ def apply_gcm_forcing_tendencies(coupler: Coupler, state, dt, dt_gcm):
     col = lambda name: state[name][:, :, None, None]
     rho_d_old = state["density_dry"]
     rho_v = _get3d(coupler, state, "water_vapor")
-    liq_name = "cloud_water" if "cloud_water" in state else "cloud_liquid"
+    liq_name = _liq_name(state)
     rho_l = _get3d(coupler, state, liq_name)
     rho_i = _get3d(coupler, state, "ice")
 

@@ -14,13 +14,11 @@ import jax
 import jax.numpy as jnp
 
 from ..core.coupler import Coupler
+# ONE definition of the Bolton svp formula (also used by the profile
+# inits) — re-exported here because the adjustment is its main consumer
+from ..core.profiles import saturation_vapor_pressure  # noqa: F401
 
 _N_ITERS = 40  # bisection: bracket shrinks 2^-40 — far below the ref's 1e-6 tol
-
-
-def saturation_vapor_pressure(temp):
-    tc = temp - 273.15
-    return 610.94 * jnp.exp(17.625 * tc / (243.04 + tc))
 
 
 def latent_heat_condensation(temp):

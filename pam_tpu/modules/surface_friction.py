@@ -75,15 +75,25 @@ def surface_friction_init(coupler: Coupler, state, tau_in, bflx_in):
 
 
 def compute_surface_friction(coupler: Coupler, state):
-    """SAM-style surface momentum fluxes in [m2/s2] for SHOC
-    (ref: compute_surface_friction, surface_friction.h:107-169)."""
+    """SAM-style surface momentum fluxes for SHOC
+    (ref: compute_surface_friction, surface_friction.h:107-169).
+
+    Unit note (parity-faithful): the reference converts the SAM stress
+    tau00-based flux with ``* rho_sfc / dz`` and labels the result
+    [m2/s2] (surface_friction.h:158-166); this port reproduces that
+    formula exactly — including its labeling — so SHOC receives
+    identical values to the reference pipeline."""
+    from ..parallel import comm
     out = dict(state)
     u0 = state["uvel"][:, 0]   # (nens, ny, nx)
     v0 = state["vvel"][:, 0]
     rho0 = state["density_dry"][:, 0] + state["water_vapor"][:, 0]
-    u_mean = jnp.mean(u0, axis=(-2, -1), keepdims=True)
-    v_mean = jnp.mean(v0, axis=(-2, -1), keepdims=True)
-    rho_mean = jnp.mean(rho0, axis=(-2, -1), keepdims=True)
+    # shard-aware horizontal means (pmean over active mesh axes — plain
+    # jnp.mean would be shard-LOCAL inside the explicit shard_map mode,
+    # breaking the three-mode bit-identity every sibling module keeps)
+    u_mean = comm.pmean_h(u0, (-2, -1))[..., None, None]
+    v_mean = comm.pmean_h(v0, (-2, -1))[..., None, None]
+    rho_mean = comm.pmean_h(rho0, (-2, -1))[..., None, None]
     wnd = jnp.maximum(1.0, jnp.sqrt(u0 ** 2 + v0 ** 2))
     zm0 = state["vertical_midpoint_height"][:, 0][:, None, None]
     ustar = diag_ustar(zm0, state["sfc_bflx"][:, None, None], wnd,
