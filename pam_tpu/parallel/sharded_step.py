@@ -97,8 +97,13 @@ def sharded_dycore_step(dycore, mesh: Mesh, dt_phys: float,
                         x_axis: str = X_AXIS, y_axis: str = None):
     """shard_map just the dycore timestep (state dict in/out)."""
     axis_names = {x_axis} | ({y_axis} if y_axis else set())
+    # same size-1 fallback as sharded_crm_step: trivial manual axes add
+    # nothing and can trip the XLA SPMD RET_CHECK
+    trivial = all(mesh.shape[a] == 1 for a in axis_names)
 
     def step(state):
+        if trivial:
+            return dycore.timestep(state, dt_phys)
         specs = state_specs(state, x_axis, y_axis)
 
         def body(s):

@@ -58,6 +58,17 @@ def kessler_column(theta, qv, qc, qr, rho, z, exner, dt, c: Constants):
     (theta, qv, qc, qr, precl) with precl in m/s.
     Ref: Microphysics::kessler, Microphysics.h:346-449.
     """
+    # trace-time guard (ref endrun: "kessler.f90 called with nonpositive
+    # dt", Microphysics.h:353): dt <= 0 would make rainsplit =
+    # ceil(0/0) = int32(NaN), silently NaN-ing precl. (A traced dt
+    # cannot be checked here; every in-tree caller passes a python
+    # float.)
+    try:
+        nonpositive = float(dt) <= 0.0
+    except TypeError:
+        nonpositive = False
+    if nonpositive:
+        raise ValueError(f"kessler called with nonpositive dt={dt}")
     psl = c.p0 / 100.0
     rhoqr = 1000.0
     lv = 2.5e6
@@ -167,6 +178,9 @@ class KesslerMicro:
         rho_c = col(state["cloud_liquid"])
         rho_r = col(state["precip_liquid"])
         qv, qc, qr = rho_v / rho_d, rho_c / rho_d, rho_r / rho_d
+        # moist pressure — Coupler.pressure's formula on the column
+        # layout (kept inline: this is the measured hot path, and the
+        # coupler helper would compute in the 4-D layout first)
         pressure = c.R_d * rho_d * temp + c.R_v * rho_v * temp
         exner = (pressure / c.p0) ** (c.R_d / c.cp_d)
         theta = temp / exner

@@ -34,7 +34,11 @@ class ModuleTimers:
         with jax.named_scope(name):
             t0 = time.perf_counter()
             out = fn(state)
-            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+            # sync the WHOLE pytree: blocking on one leaf can return
+            # while the module's real outputs are still computing (a
+            # passthrough leaf that sorts first is already materialized),
+            # misattributing the cost to the NEXT module
+            jax.block_until_ready(out)
             dt = time.perf_counter() - t0
         self.times[name] = self.times.get(name, 0.0) + dt
         self.counts[name] = self.counts.get(name, 0) + 1
@@ -63,7 +67,11 @@ def state_diff(before: dict, after: dict) -> tuple[str, ...]:
             dirty.append(k)
             continue
         a, b = np.asarray(before[k]), np.asarray(after[k])
-        if a.shape != b.shape or not np.array_equal(a, b):
+        # equal_nan: a field already containing NaN (exactly the blow-up
+        # this tool debugs) must not read as dirty in EVERY module
+        eq_nan = a.dtype.kind == "f" and b.dtype.kind == "f"
+        if a.shape != b.shape or not np.array_equal(a, b,
+                                                    equal_nan=eq_nan):
             dirty.append(k)
     return tuple(dirty)
 

@@ -15,29 +15,54 @@ def equal_levels(nlev: int, z0: float = 0.0, ztop: float = 10000.0):
     return np.linspace(z0, ztop, nlev + 1)
 
 
+def _levels_from_template(template, nlev: int, z0: float, ztop: float,
+                          niter: int = 200, tol: float = 1e-15):
+    """Self-consistent dz from a dz-vs-height template: fixed-point
+    iteration dz[i]/dz[i-1] = template(zmid[i])/template(zmid[i-1]) with
+    zmid the CONVERGED physical midpoints, normalized to span the domain
+    each sweep (ref: generate_vertical_levels.py:105-131 — evaluating the
+    template at uniform index fractions instead gives a substantially
+    different grid: ~1900 m interface error for the default tanh)."""
+    zthick = ztop - z0
+    dz = np.full(nlev, zthick / nlev)
+    for _ in range(niter):
+        dz_old = dz.copy()
+        zmid = np.cumsum(dz) - dz / 2           # heights above z0
+        t = template(zmid)
+        dz = dz[0] * np.concatenate([[1.0], np.cumprod(t[1:] / t[:-1])])
+        dz *= zthick / dz.sum()
+        if np.abs(dz - dz_old).sum() / dz.sum() < tol:
+            break
+    return np.concatenate([[z0], z0 + np.cumsum(dz)])
+
+
 def exp_levels(nlev: int, z0: float = 0.0, ztop: float = 10000.0,
                base: float = 10.0):
-    """dz grows exponentially; top/bottom dz ratio = base
-    (generate_vertical_levels.py --function=exp)."""
-    zmid = (np.arange(nlev) + 0.5) / nlev
-    dz = base ** zmid
-    dz *= (ztop - z0) / dz.sum()
-    return np.concatenate([[z0], z0 + np.cumsum(dz)])
+    """dz grows exponentially IN PHYSICAL HEIGHT; top/bottom dz ratio ->
+    base (generate_vertical_levels.py --function=exp: template
+    base**(z/zthick) iterated to self-consistency)."""
+    zthick = ztop - z0
+    return _levels_from_template(lambda z: base ** (z / zthick), nlev,
+                                 z0, ztop)
 
 
 def tanh_levels(nlev: int, z0: float = 0.0, ztop: float = 10000.0,
                 inflect: float = 2000.0, steep: float = 8.0,
                 scale: float = 10.0):
     """Concentrates layers near the surface, ~constant above the tanh
-    inflection (generate_vertical_levels.py --function=tanh):
-    dz(z) = ((tanh((z/(ztop-z0) - inflect/(ztop-z0))*steep) + 1)/2
-             * (scale-1)) + 1, rescaled to sum to ztop-z0."""
-    L = ztop - z0
-    zmid = (np.arange(nlev) + 0.5) / nlev
-    dz = (np.tanh((zmid - inflect / L) * steep) + 1.0) / 2.0 * (scale - 1.0) \
-        + 1.0
-    dz *= L / dz.sum()
-    return np.concatenate([[z0], z0 + np.cumsum(dz)])
+    inflection at PHYSICAL height ``inflect``
+    (generate_vertical_levels.py --function=tanh, incl. the z0 offset of
+    the inflection, :102 tanh_inflect_p = (tanh_inflect - z0)/zthick):
+    dz(z) propto ((tanh((z - (inflect-z0))/zthick * steep) + 1)/2
+    * (scale-1)) + 1, iterated to self-consistency in z."""
+    zthick = ztop - z0
+    ip = (inflect - z0) / zthick
+
+    def template(z):
+        return (np.tanh((z / zthick - ip) * steep) + 1.0) / 2.0 * \
+            (scale - 1.0) + 1.0
+
+    return _levels_from_template(template, nlev, z0, ztop)
 
 
 def generate(function: str = "tanh", nlev: int = 64, z0: float = 0.0,

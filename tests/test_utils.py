@@ -96,6 +96,20 @@ def test_vertical_levels():
     zint = vl.tanh_levels(64, 0.0, 10000.0)
     dz = np.diff(zint)
     assert dz[0] < dz[-1]
+    # SELF-CONSISTENCY (the reference's fixed-point property,
+    # generate_vertical_levels.py:105-131): dz[i]/dz[i-1] equals the
+    # template ratio evaluated at the CONVERGED physical midpoints —
+    # evaluating at uniform index fractions violates this by ~2x
+    zmid = 0.5 * (zint[:-1] + zint[1:])
+    tmpl = (np.tanh((zmid / 10000.0 - 0.2) * 8.0) + 1.0) / 2.0 * 9.0 + 1.0
+    np.testing.assert_allclose(dz[1:] / dz[:-1], tmpl[1:] / tmpl[:-1],
+                               rtol=1e-10)
+    # the tanh inflection is at PHYSICAL height `inflect` even when
+    # z0 != 0 (ref :102): steepest dz growth near z = 7000
+    zint = vl.tanh_levels(64, 5000.0, 15000.0, inflect=7000.0)
+    dz = np.diff(zint)
+    zmid = 0.5 * (zint[:-1] + zint[1:])
+    assert abs(zmid[np.argmax(np.diff(dz))] - 7000.0) < 500.0
 
 
 def test_vcoords_netcdf_roundtrip(tmp_path):
