@@ -34,6 +34,14 @@ def exact_inverse_avg(u, axis: int = -1):
     assert n % 2 == 1, (
         "couple_wind_exact_inverse requires an odd cell count "
         "(variableset.h:225-233)")
+    from ..parallel import comm
+    if comm.active_x_axis() is not None:
+        # the alternating-sum recurrence is GLOBAL along x: a shard-local
+        # inverse would silently be wrong at every shard boundary
+        raise NotImplementedError(
+            "couple_wind_exact_inverse requires x unsharded (global "
+            "alternating-sum recurrence); use the default averaging "
+            "conversion under manual x sharding")
     um = jnp.moveaxis(u, axis, -1)
     i = np.arange(n)
     sgn = jnp.asarray(np.where(i % 2 == 0, 1.0, -1.0), um.dtype)
@@ -184,7 +192,6 @@ class SpamDycore:
         x-z slab (ny dropped) and the 3-D layout (v stacked (vx, vy))."""
         g, vs, th = self.geom, self.varset, self.thermo
         three_d = self.ndims == 2
-        hcut = (slice(None),) if three_d else (0,)
 
         def fld(name):
             f = state[name]
@@ -196,6 +203,12 @@ class SpamDycore:
         rho_d = fld("density_dry")
         temp = fld("temp")
         tracers = [fld(n) for n in vs.tracer_names]
+        if "water_vapor" not in vs.tracer_names:
+            raise ValueError(
+                "the coupled SPAM conversion requires a registered "
+                "'water_vapor' tracer (variableset.h:246-287 searches the "
+                "coupler tracers); dry idealized runs use the standalone "
+                "testcase path, not the coupler conversion")
         dens_vap = tracers[vs.dens_id_vap - 2]
         dens_liq = tracers[vs.dens_id_liq - 2] if vs.liq_found else 0.0
         dens_ice = tracers[vs.dens_id_ice - 2] if vs.ice_found else 0.0
@@ -291,10 +304,15 @@ class SpamDycore:
     # ------------------------------------------------------- time stepping
     def compute_dt_dyn(self, cfl: float = 0.5):
         """Static acoustic-CFL estimate for SSPRK substepping (analog of
-        Dycore.h:248-266 CFL-adaptive substepping, conservative cs)."""
+        Dycore.h:248-266 CFL-adaptive substepping, conservative cs).
+        Includes dy in the 3-D (ndims=2) configuration — the y acoustic
+        CFL binds whenever dy < min(dx, dz)."""
         cs = 350.0
         dz = float(np.min(self.geom.dz_d))
-        return cfl * min(self.geom.dx, dz) / cs
+        dmin = min(self.geom.dx, dz)
+        if self.ndims == 2:
+            dmin = min(dmin, self.geom.dy)
+        return cfl * dmin / cs
 
     def with_si(self, refstate, dt_si, max_iters: int = 3, nquad: int = 2,
                 linear_system: str = "velocity", two_point: bool = False):
@@ -363,14 +381,21 @@ class SpamDycore:
         # the loop body into a measurably faster program than the inlined
         # step (7.3 -> 5.2 ms/step on v5e at 65x50x128), likely due to
         # loop-invariant table hoisting + layout assignment.
+        # Clipping of negative positive-definite densities runs INSIDE
+        # the substep body (ref: Dycore.h timeStep clips after EVERY
+        # inner step, clip_negative_densities default true) so later
+        # substeps never advance from a negative tracer state; identical
+        # to a post-scan clip when n_substeps == 1 (all configs of
+        # record).
+        pos = jnp.asarray(self.varset.dens_pos)
+        pos = pos.reshape((-1,) + (1,) * (dens.ndim - 1))
+
         def body(carry, _):
             d_, v_, w_ = carry
-            return stepper(d_, v_, w_), None
+            d2, v2, w2 = stepper(d_, v_, w_)
+            d2 = jnp.where(pos, jnp.maximum(d2, 0.0), d2)
+            return (d2, v2, w2), None
 
         (dens, v, w), _ = jax.lax.scan(body, (dens, v, w), None,
                                        length=n_substeps)
-        # clip negative positive-definite densities (ref: Dycore.h:2506-2527)
-        pos = jnp.asarray(self.varset.dens_pos)
-        pos = pos.reshape((-1,) + (1,) * (dens.ndim - 1))
-        dens = jnp.where(pos, jnp.maximum(dens, 0.0), dens)
         return self.dynamics_to_coupler(state, dens, v, w)
